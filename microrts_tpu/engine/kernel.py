@@ -1,0 +1,541 @@
+"""The TPU rules kernel: legality masks, issue, and cycle as pure plane ops.
+
+This is a ground-up vectorized re-design of the Java hot loop (SURVEY.md §3.2)
+— not a translation.  Per-unit object scans (Unit.getUnitActions,
+Unit.java:368-522; GameState.issue conflict scan, GameState.java:249-328;
+GameState.cycle execution, :553-571) become fixed-shape stencil/shift ops and
+a small number of scatter-adds, so the whole tick jits, vmaps over envs, and
+scans over time with no host round-trips.
+
+Exactness model
+---------------
+The Java engine executes completions sequentially in LinkedHashMap insertion
+order.  We reify that order as the ``aorder`` plane and resolve every
+order-sensitive interaction in closed form:
+
+* same-tick issue conflicts are position-only and local: MOVE/PRODUCE claims
+  always target a 4-neighbor, so each cell has at most 4 claimants; the Java
+  pairwise CANCEL_BOTH chain (GameState.java:263-297) over claimants sorted
+  by issue order cancels pairs (0,1), (2,3), ... leaving the last claimant
+  alive iff the count is odd.
+* completion-time interleaving (attack-vs-move, return-vs-building-death,
+  multi-harvest depletion) reduces to per-cell threshold queries against the
+  single occupancy transition a cell can have per tick (at most one arrival
+  or one departure — reservations are exclusive), computed with order-
+  filtered scatter-added damage sums and 4-way sort networks.
+
+Documented divergences from raw Java ``issue`` (none reachable through the
+reference's own clients, which all pre-check PlayerActions cumulatively —
+PlayerAction.fromVectorAction :395-417, AbstractionLayerAI.translateActions
+:58-113):
+* same-tick pairwise *resource* over-commit conflicts are not cancelled
+  (callers must pass per-player cumulatively-consistent candidates, which the
+  env decode guarantees like the reference does);
+* a produce that would overdraw the stockpile at completion is executed
+  (unreachable under cumulative checking: reserved costs never exceed the
+  balance);
+* newborn unit IDs are assigned in row-major rather than execution order
+  (IDs are cosmetic: the reference's own replay test heals them by position,
+  TestTracesIntegrity.java:89-97).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import (ATTACK, DIR_X, DIR_Y, HARVEST, INF, MOVE, NONE, PRODUCE,
+                    RETURN, Candidates, EngineConfig, State)
+
+
+# ----------------------------------------------------------------------
+# shift helpers
+
+def _shift(p: jax.Array, dx: int, dy: int, fill=0) -> jax.Array:
+    """out[y, x] = p[y - dy, x - dx]; cells shifted in from outside = fill."""
+    if dx == 0 and dy == 0:
+        return p
+    h, w = p.shape[-2], p.shape[-1]
+    out = jnp.full_like(p, fill)
+    ys_dst = slice(max(0, dy), h + min(0, dy))
+    xs_dst = slice(max(0, dx), w + min(0, dx))
+    ys_src = slice(max(0, -dy), h + min(0, -dy))
+    xs_src = slice(max(0, -dx), w + min(0, -dx))
+    return out.at[..., ys_dst, xs_dst].set(p[..., ys_src, xs_src])
+
+
+def push(p: jax.Array, d: int, fill=0) -> jax.Array:
+    """Move source-cell values to their direction-d target cell."""
+    return _shift(p, DIR_X[d], DIR_Y[d], fill)
+
+
+def pull(p: jax.Array, d: int, fill=0) -> jax.Array:
+    """Read, at each source cell, the value at its direction-d target cell."""
+    return _shift(p, -DIR_X[d], -DIR_Y[d], fill)
+
+
+# ----------------------------------------------------------------------
+
+class Engine(NamedTuple):
+    """Jittable pure functions closed over one EngineConfig."""
+    cfg: EngineConfig
+    validate: callable        # (State, Candidates) -> bool[H,W]
+    issue: callable           # (State, Candidates) -> State
+    cycle: callable           # (State) -> (State, done bool)
+    legal_masks: callable     # (State, player) -> dict of mask planes
+    winner: callable          # (State) -> int32 (-1 none)
+    gameover: callable        # (State) -> bool
+
+
+@functools.lru_cache(maxsize=64)
+def make_engine(cfg: EngineConfig) -> Engine:
+    H, W = cfg.height, cfg.width
+    T = cfg.num_types
+    R = cfg.max_range
+    DIAM = 2 * R + 1
+
+    # UTT constants, folded into the program
+    COST = jnp.asarray(cfg.cost, jnp.int32)
+    THP = jnp.asarray(cfg.hp, jnp.int32)
+    MIN_D = jnp.asarray(cfg.min_damage, jnp.int32)
+    MAX_D = jnp.asarray(cfg.max_damage, jnp.int32)
+    RANGE = jnp.asarray(cfg.attack_range, jnp.int32)
+    PROD_T = jnp.asarray(cfg.produce_time, jnp.int32)
+    MOVE_T = jnp.asarray(cfg.move_time, jnp.int32)
+    ATK_T = jnp.asarray(cfg.attack_time, jnp.int32)
+    HARV_T = jnp.asarray(cfg.harvest_time, jnp.int32)
+    HARV_A = jnp.asarray(cfg.harvest_amount, jnp.int32)
+    IS_RES = jnp.asarray(cfg.is_resource, bool)
+    IS_STOCK = jnp.asarray(cfg.is_stockpile, bool)
+    CAN_HARV = jnp.asarray(cfg.can_harvest, bool)
+    CAN_MOVE = jnp.asarray(cfg.can_move, bool)
+    CAN_ATK = jnp.asarray(cfg.can_attack, bool)
+    PRODUCES = jnp.asarray(cfg.produces, bool)  # [T, T]
+
+    def tprop(arr, t):
+        return jnp.take(arr, t, axis=0)
+
+    def _unit_ctx(state: State):
+        t = jnp.clip(state.utype - 1, 0, T - 1)
+        exists = state.utype > 0
+        return t, exists
+
+    # ------------------------------------------------------------------
+    # legality (Unit.getUnitActions, Unit.java:368-522 — standing units and
+    # terrain only; in-flight reservations are deliberately NOT considered,
+    # mirroring Unit.java:476 / :498-516)
+
+    def _free_at(state: State, d: int) -> jax.Array:
+        free = (state.terrain == 0) & (state.utype == 0)
+        return pull(free, d, fill=False)
+
+    def _dir_stack(fn):
+        return jnp.stack([fn(d) for d in range(4)], axis=-1)  # [H,W,4]
+
+    def _take_dir(stack, param):
+        return jnp.take_along_axis(
+            stack, jnp.clip(param, 0, 3)[..., None], axis=-1)[..., 0]
+
+    def validate(state: State, cand: Candidates) -> jax.Array:
+        """Per-cell: is this specific candidate action legal for this unit?
+        (Unit.canExecuteAction, Unit.java:531-534.)"""
+        t, exists = _unit_ctx(state)
+        me = state.owner
+        is_res_n = exists & tprop(IS_RES, t)
+        is_stock_n = exists & tprop(IS_STOCK, t)
+
+        free_d = _dir_stack(lambda d: _free_at(state, d))
+        res_d = _dir_stack(lambda d: pull(is_res_n, d, fill=False))
+        own_stock_d = _dir_stack(
+            lambda d: pull(is_stock_n, d, fill=False)
+            & (pull(state.owner, d, fill=-1) == me))
+
+        at = cand.atype
+        param = cand.aparam
+        pt = jnp.clip(cand.aptype, 0, T - 1)
+
+        legal_none = at == NONE
+        legal_move = (at == MOVE) & tprop(CAN_MOVE, t) & _take_dir(free_d, param)
+        legal_harv = ((at == HARVEST) & tprop(CAN_HARV, t)
+                      & (state.carried == 0) & _take_dir(res_d, param))
+        legal_ret = ((at == RETURN) & tprop(CAN_HARV, t)
+                     & (state.carried > 0) & _take_dir(own_stock_d, param))
+        afford = jnp.take(COST, pt) <= jnp.take(
+            state.resources, jnp.clip(me, 0, 1))
+        producible = PRODUCES[t, pt]
+        legal_prod = ((at == PRODUCE) & producible & afford
+                      & _take_dir(free_d, param))
+        # attack: enemy unit at absolute (atx, aty) within squared range
+        # (Unit.java:409-436; range-1 4-adjacency == d2 <= 1 for distinct cells)
+        tx = jnp.clip(cand.atx, 0, W - 1)
+        ty = jnp.clip(cand.aty, 0, H - 1)
+        inb = (cand.atx >= 0) & (cand.atx < W) & (cand.aty >= 0) & (cand.aty < H)
+        tix = ty * W + tx
+        vt = state.utype.reshape(-1)[tix]
+        vo = state.owner.reshape(-1)[tix]
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        d2 = (cand.atx - xs) ** 2 + (cand.aty - ys) ** 2
+        rng = tprop(RANGE, t)
+        legal_atk = ((at == ATTACK) & tprop(CAN_ATK, t) & inb
+                     & (vt > 0) & (vo >= 0) & (vo != me) & (d2 <= rng * rng))
+
+        return (exists & (legal_none | legal_move | legal_harv | legal_ret
+                          | legal_prod | legal_atk))
+
+    def eta_of(state: State, cand: Candidates) -> jax.Array:
+        """UnitAction.ETA (UnitAction.java:307-329; RETURN uses moveTime)."""
+        t, _ = _unit_ctx(state)
+        pt = jnp.clip(cand.aptype, 0, T - 1)
+        return jnp.select(
+            [cand.atype == NONE, cand.atype == MOVE, cand.atype == HARVEST,
+             cand.atype == RETURN, cand.atype == PRODUCE, cand.atype == ATTACK],
+            [cand.aparam, tprop(MOVE_T, t), tprop(HARV_T, t),
+             tprop(MOVE_T, t), jnp.take(PROD_T, pt), tprop(ATK_T, t)],
+            default=jnp.int32(0))
+
+    # ------------------------------------------------------------------
+    # issue (GameState.issueSafe :338-408 + issue :249-328, CANCEL_BOTH)
+
+    def issue(state: State, cand: Candidates) -> State:
+        t, exists = _unit_ctx(state)
+        ignore = (~exists) | state.busy | (cand.atype < 0) | (state.owner < 0)
+
+        legal = validate(state, cand) & ~ignore
+        eta_att = eta_of(state, cand)
+        # issueSafe: illegal -> NONE(ETA of the attempted action) :347-354
+        a_type = jnp.where(legal, cand.atype, NONE)
+        a_param = jnp.where(legal, cand.aparam, eta_att)
+        eta1 = eta_att  # NONE(eta_att) has the same ETA
+
+        # cross-cycle conflicts vs in-flight assignments -> only the new
+        # action cancels, as NONE() with parameter -1 (GameState.java:298-317).
+        # (a) position: claim target reserved by an in-flight MOVE/PRODUCE;
+        # (b) resource (pairwise, ResourceUsage.consistentWith :31-50): new
+        #     produce cost + the largest single in-flight produce cost of the
+        #     same player exceeds the player's stockpile.
+        claim = ((a_type == MOVE) | (a_type == PRODUCE)) & ~ignore
+        inflight = state.busy & ((state.atype == MOVE) | (state.atype == PRODUCE))
+        resv = jnp.zeros((H, W), bool)
+        for d in range(4):
+            resv = resv | push(inflight & (state.aparam == d), d, fill=False)
+        tgt_resv = _take_dir(_dir_stack(lambda d: pull(resv, d, fill=False)),
+                             cand.aparam)
+        if_pcost = jnp.where(state.busy & (state.atype == PRODUCE),
+                             jnp.take(COST, jnp.clip(state.aptype, 0, T - 1)), 0)
+        max_if = jnp.stack([jnp.max(jnp.where(state.owner == p, if_pcost, 0))
+                            for p in (0, 1)])
+        my_bal = jnp.take(state.resources, jnp.clip(state.owner, 0, 1))
+        my_max_if = jnp.take(max_if, jnp.clip(state.owner, 0, 1))
+        new_cost = jnp.take(COST, jnp.clip(cand.aptype, 0, T - 1))
+        res_xc = ((a_type == PRODUCE) & ~ignore
+                  & (new_cost + my_max_if > my_bal))
+        xc = (claim & tgt_resv) | res_xc
+        a_type = jnp.where(xc, NONE, a_type)
+        a_param = jnp.where(xc, -1, a_param)
+        eta2 = jnp.where(xc, -1, eta1)
+        claim = claim & ~xc
+
+        # same-tick CANCEL_BOTH chains per target cell (<=4 claimants)
+        cl, rk, et = [], [], []
+        for d in range(4):
+            c_d = push(claim & (cand.aparam == d), d, fill=False)
+            cl.append(c_d)
+            rk.append(jnp.where(c_d, push(cand.rank, d), INF))
+            et.append(jnp.where(c_d, push(eta2, d), 0))
+        rk = jnp.stack(rk, -1)
+        et = jnp.stack(et, -1)
+        srcd = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
+        rk_s, et_s, d_s = jax.lax.sort((rk, et, srcd), dimension=-1, num_keys=1)
+        valid_s = rk_s < INF
+        m = jnp.sum(valid_s, axis=-1)  # claimant count per cell
+        k_idx = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
+        survivor = (k_idx == m[..., None] - 1) & ((m[..., None] % 2) == 1)
+        cancelled_s = valid_s & ~survivor
+        # pair-min NONE durations: pairs are (0,1), (2,3) in sorted order
+        pair_min = jnp.stack([
+            jnp.minimum(et_s[..., 0], et_s[..., 1]),
+            jnp.minimum(et_s[..., 0], et_s[..., 1]),
+            jnp.minimum(et_s[..., 2], et_s[..., 3]),
+            jnp.minimum(et_s[..., 2], et_s[..., 3])], axis=-1)
+        # map sorted slots back to direction-of-origin planes
+        cancel_d = []
+        ndur_d = []
+        for d in range(4):
+            sel = (d_s == d) & cancelled_s
+            cancel_d.append(jnp.any(sel, axis=-1))
+            ndur_d.append(jnp.max(jnp.where(sel, pair_min, -INF), axis=-1))
+        cancel_back = _take_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
+                                                          fill=False)),
+                                cand.aparam) & claim
+        ndur_back = _take_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
+                                                        fill=-INF)),
+                              cand.aparam)
+        a_type = jnp.where(cancel_back, NONE, a_type)
+        a_param = jnp.where(cancel_back, ndur_back, a_param)
+        eta3 = jnp.where(cancel_back, ndur_back, eta2)
+
+        put = ~ignore
+        return state.replace(
+            busy=state.busy | put,
+            atype=jnp.where(put, a_type, state.atype),
+            aparam=jnp.where(put, a_param, state.aparam),
+            atx=jnp.where(put, cand.atx, state.atx),
+            aty=jnp.where(put, cand.aty, state.aty),
+            aptype=jnp.where(put, cand.aptype, state.aptype),
+            aticks=jnp.where(put, eta3, state.aticks),
+            aorder=jnp.where(put, state.order_ctr + cand.rank, state.aorder),
+            order_ctr=state.order_ctr + 2 * H * W,
+        )
+
+    # ------------------------------------------------------------------
+    # cycle (GameState.cycle :553-571 + UnitAction.execute :338-465)
+
+    def cycle(state: State) -> Tuple[State, jax.Array]:
+        t, exists = _unit_ctx(state)
+        key, sub = jax.random.split(state.key)
+
+        ticks = jnp.where(state.busy, state.aticks - 1, state.aticks)
+        comp = state.busy & (ticks <= 0)
+        cm = comp & (state.atype == MOVE)
+        ch = comp & (state.atype == HARVEST)
+        cr = comp & (state.atype == RETURN)
+        cp = comp & (state.atype == PRODUCE)
+        ca = comp & (state.atype == ATTACK)
+
+        # occupancy transitions: at most one departure OR one arrival per cell
+        dep_order = jnp.where(cm, state.aorder, INF)
+        arr_order = jnp.full((H, W), INF, jnp.int32)
+        for d in range(4):
+            mvp = (cm | cp) & (state.aparam == d)
+            arr_order = jnp.minimum(
+                arr_order, jnp.where(push(mvp, d, fill=False),
+                                     push(state.aorder, d), INF))
+
+        # ---- attacks: order-filtered damage sums via one stacked scatter
+        dmin, dmax = tprop(MIN_D, t), tprop(MAX_D, t)
+        u01 = jax.random.uniform(sub, (H, W))
+        dmg = jnp.where(dmax > dmin,
+                        dmin + (u01 * (dmax - dmin + 1)).astype(jnp.int32),
+                        dmin)
+        tix = (jnp.clip(state.aty, 0, H - 1) * W
+               + jnp.clip(state.atx, 0, W - 1)).reshape(-1)
+        ca_f = ca.reshape(-1)
+        o_f = state.aorder.reshape(-1)
+        dep_at_t = dep_order.reshape(-1)[tix]
+        arr_at_t = arr_order.reshape(-1)[tix]
+        # return-order query planes: Q_d[c] = order of a completing RETURN
+        # approaching c from direction d (at most one per (c, d))
+        q_d = []
+        for d in range(4):
+            r_d = cr & (state.aparam == d)
+            q_d.append(jnp.where(push(r_d, d, fill=False),
+                                 push(state.aorder, d), INF))
+        flags = jnp.stack(
+            [ca_f,
+             ca_f & (o_f < dep_at_t),
+             ca_f & (o_f > arr_at_t)]
+            + [ca_f & (o_f < q.reshape(-1)[tix]) for q in q_d], axis=-1)
+        vals = jnp.where(flags, dmg.reshape(-1)[:, None], 0)
+        sums = jnp.zeros((H * W, 7), jnp.int32).at[
+            jnp.where(ca_f, tix, 0)].add(jnp.where(ca_f[:, None], vals, 0))
+        dmg_total = sums[:, 0].reshape(H, W)
+        dmg_pre_dep = sums[:, 1].reshape(H, W)
+        dmg_post_arr = sums[:, 2].reshape(H, W)
+        dmg_pre_ret = [sums[:, 3 + d].reshape(H, W) for d in range(4)]
+
+        # ---- harvest: per-node 4-way ordered depletion
+        # (UnitAction.java:378-404; each server takes its own harvestAmount,
+        # node removed at <= 0, later servers get nothing)
+        is_res_n = exists & tprop(IS_RES, t)
+        hv_ok = ch & tprop(CAN_HARV, t) & (state.carried == 0)
+        h_val, h_ord, h_amt = [], [], []
+        for d in range(4):
+            hd = hv_ok & (state.aparam == d)
+            h_val.append(push(hd, d, fill=False) & is_res_n)
+            h_ord.append(jnp.where(h_val[-1], push(state.aorder, d), INF))
+            h_amt.append(jnp.where(h_val[-1], push(tprop(HARV_A, t), d), 0))
+        h_ord = jnp.stack(h_ord, -1)
+        h_amt = jnp.stack(h_amt, -1)
+        h_dir = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
+        ho_s, ha_s, hd_s = jax.lax.sort((h_ord, h_amt, h_dir),
+                                        dimension=-1, num_keys=1)
+        prev = jnp.concatenate(
+            [jnp.zeros((H, W, 1), jnp.int32), jnp.cumsum(ha_s, -1)[..., :3]], -1)
+        take_s = (ho_s < INF) & (state.carried[..., None] - prev > 0)
+        node_taken = jnp.sum(jnp.where(take_s, ha_s, 0), axis=-1)
+        node_res = state.carried - node_taken
+        node_removed = is_res_n & (node_taken > 0) & (node_res <= 0)
+        # scatter take flags back to harvesters (per approach direction)
+        got = jnp.zeros((H, W), bool)
+        amt_got = jnp.zeros((H, W), jnp.int32)
+        for d in range(4):
+            sel = (hd_s == d) & take_s
+            got_d = jnp.any(sel, -1)
+            got = got | (hv_ok & (state.aparam == d)
+                         & pull(got_d, d, fill=False))
+            amt_got = amt_got + jnp.where(
+                hv_ok & (state.aparam == d),
+                pull(jnp.max(jnp.where(sel, ha_s, 0), -1), d), 0)
+
+        # ---- returns: stockpile standing, not departing, alive at o_ret
+        # (UnitAction.java:406-432 — deposits to the RETURNER's player; no
+        # owner check at execution, unlike issue-time legality)
+        is_stock_n = exists & tprop(IS_STOCK, t)
+        ret_valid = jnp.zeros((H, W), bool)
+        for d in range(4):
+            rd = cr & (state.aparam == d) & (state.carried > 0)
+            alive = (is_stock_n & (state.hp > dmg_pre_ret[d])
+                     & (dep_order > q_d[d]))
+            ret_valid = ret_valid | (rd & pull(alive, d, fill=False))
+        dep0 = jnp.sum(jnp.where(ret_valid & (state.owner == 0),
+                                 state.carried, 0))
+        dep1 = jnp.sum(jnp.where(ret_valid & (state.owner == 1),
+                                 state.carried, 0))
+
+        # ---- produce: always funded (see module docstring); pay at
+        # completion (UnitAction.java:434-463)
+        pcost = jnp.take(COST, jnp.clip(state.aptype, 0, T - 1))
+        spend0 = jnp.sum(jnp.where(cp & (state.owner == 0), pcost, 0))
+        spend1 = jnp.sum(jnp.where(cp & (state.owner == 1), pcost, 0))
+        nb_rank = jnp.cumsum(cp.reshape(-1)).reshape(H, W) - 1
+        n_born = jnp.sum(cp)
+
+        # ---- movers: alive at departure -> arrive; damage both ends
+        mv_alive = cm & (state.hp - dmg_pre_dep > 0)
+        hp_mid = state.hp - dmg_pre_dep
+
+        # ---- compose next board
+        standing = exists & ~cm
+        hp_std = state.hp - dmg_total
+        dead_std = standing & ~is_res_n & (hp_std <= 0) & (state.owner >= 0)
+        # neutral/resource units can also be attacked in principle:
+        dead_neutral = standing & (state.owner < 0) & ~is_res_n & (hp_std <= 0)
+        keep = standing & ~dead_std & ~dead_neutral & ~node_removed
+
+        utype_n = jnp.where(keep, state.utype, 0)
+        owner_n = jnp.where(keep, state.owner, -1)
+        hp_n = jnp.where(keep, hp_std, 0)
+        uid_n = jnp.where(keep, state.uid, 0)
+        carried_keep = jnp.where(got, amt_got,
+                                 jnp.where(ret_valid, 0, state.carried))
+        carried_keep = jnp.where(is_res_n, node_res, carried_keep)
+        carried_n = jnp.where(keep, carried_keep, 0)
+
+        busy_n = state.busy & ~comp & keep
+        atype_n = jnp.where(busy_n, state.atype, 0)
+        aparam_n = jnp.where(busy_n, state.aparam, 0)
+        atx_n = jnp.where(busy_n, state.atx, 0)
+        aty_n = jnp.where(busy_n, state.aty, 0)
+        aptype_n = jnp.where(busy_n, state.aptype, 0)
+        aticks_n = jnp.where(busy_n, ticks, 0)
+        aorder_n = jnp.where(busy_n, state.aorder, 0)
+
+        # arrivals: movers
+        for d in range(4):
+            md = mv_alive & (state.aparam == d)
+            at_dst = push(md, d, fill=False)
+            hp_arr = push(hp_mid, d) - dmg_post_arr
+            alive_dst = at_dst & (hp_arr > 0)
+            utype_n = jnp.where(alive_dst, push(state.utype, d), utype_n)
+            owner_n = jnp.where(alive_dst, push(state.owner, d), owner_n)
+            hp_n = jnp.where(alive_dst, hp_arr, hp_n)
+            carried_n = jnp.where(alive_dst, push(state.carried, d), carried_n)
+            uid_n = jnp.where(alive_dst, push(state.uid, d), uid_n)
+
+        # arrivals: newborns
+        for d in range(4):
+            pd = cp & (state.aparam == d)
+            at_dst = push(pd, d, fill=False)
+            hp_born = push(jnp.take(THP, jnp.clip(state.aptype, 0, T - 1)), d)
+            hp_nb = hp_born - dmg_post_arr
+            alive_dst = at_dst & (hp_nb > 0)
+            utype_n = jnp.where(alive_dst, push(state.aptype, d) + 1, utype_n)
+            owner_n = jnp.where(alive_dst, push(state.owner, d), owner_n)
+            hp_n = jnp.where(alive_dst, hp_nb, hp_n)
+            carried_n = jnp.where(alive_dst, 0, carried_n)
+            uid_n = jnp.where(alive_dst, state.next_id + push(nb_rank, d),
+                              uid_n)
+
+        resources_n = (state.resources
+                       + jnp.stack([dep0 - spend0, dep1 - spend1]))
+
+        new_state = state.replace(
+            utype=utype_n, owner=owner_n, hp=hp_n, carried=carried_n,
+            uid=uid_n, busy=busy_n, atype=atype_n, aparam=aparam_n,
+            atx=atx_n, aty=aty_n, aptype=aptype_n, aticks=aticks_n,
+            aorder=aorder_n, time=state.time + 1, resources=resources_n,
+            next_id=state.next_id + n_born, key=key)
+        return new_state, gameover(new_state)
+
+    # ------------------------------------------------------------------
+
+    def _counts(state: State):
+        alive = state.utype > 0
+        n0 = jnp.sum(alive & (state.owner == 0))
+        n1 = jnp.sum(alive & (state.owner == 1))
+        return n0, n1
+
+    def gameover(state: State) -> jax.Array:
+        """PhysicalGameState.gameover :361-387."""
+        n0, n1 = _counts(state)
+        return ((n0 + n1) == 0) | ((n0 == 0) ^ (n1 == 0))
+
+    def winner(state: State) -> jax.Array:
+        """PhysicalGameState.winner :334-353 (-1 = none/draw)."""
+        n0, n1 = _counts(state)
+        return jnp.where((n0 > 0) & (n1 == 0), 0,
+                         jnp.where((n1 > 0) & (n0 == 0), 1, -1))
+
+    # ------------------------------------------------------------------
+    # masks (UnitAction.getValidActionArray :711-751 + JNIGridnetClient
+    # mask layout :60-99: [can-act, 6 types, 4 move, 4 harvest, 4 return,
+    # 4 produce-dir, T produce-type, DIAM^2 relative attack])
+
+    def legal_masks(state: State, player) -> Dict[str, jax.Array]:
+        t, exists = _unit_ctx(state)
+        me = jnp.int32(player)
+        mine = exists & (state.owner == me)
+        can_act = mine & ~state.busy
+        is_res_n = exists & tprop(IS_RES, t)
+        is_stock_n = exists & tprop(IS_STOCK, t)
+
+        move_d = _dir_stack(lambda d: _free_at(state, d)) \
+            & (can_act & tprop(CAN_MOVE, t))[..., None]
+        harv_d = _dir_stack(lambda d: pull(is_res_n, d, fill=False)) \
+            & (can_act & tprop(CAN_HARV, t) & (state.carried == 0))[..., None]
+        ret_d = _dir_stack(lambda d: pull(is_stock_n, d, fill=False)
+                           & (pull(state.owner, d, fill=-1) == me)) \
+            & (can_act & tprop(CAN_HARV, t) & (state.carried > 0))[..., None]
+        afford = COST[None, None, :] <= state.resources[jnp.clip(me, 0, 1)]
+        prod_pair = (PRODUCES[t] & afford
+                     & can_act[..., None])[..., None, :] \
+            & _dir_stack(lambda d: _free_at(state, d))[..., :, None]  # [H,W,4,T]
+        prod_dir = jnp.any(prod_pair, axis=-1)
+        prod_type = jnp.any(prod_pair, axis=-2)
+
+        enemy = exists & (state.owner >= 0) & (state.owner != me)
+        rng2 = tprop(RANGE, t) ** 2
+        atk_rel = []
+        for dy in range(-R, R + 1):
+            for dx in range(-R, R + 1):
+                inrange = (dx * dx + dy * dy) <= rng2
+                atk_rel.append(can_act & tprop(CAN_ATK, t) & inrange
+                               & _shift(enemy, -dx, -dy, fill=False))
+        atk_rel = jnp.stack(atk_rel, axis=-1)  # [H,W,DIAM*DIAM]
+
+        type_mask = jnp.stack(
+            [can_act,  # NONE legal whenever the unit can act
+             jnp.any(move_d, -1), jnp.any(harv_d, -1), jnp.any(ret_d, -1),
+             jnp.any(prod_dir, -1), jnp.any(atk_rel, -1)], axis=-1)
+        return dict(can_act=can_act, type=type_mask, move=move_d,
+                    harvest=harv_d, ret=ret_d, produce_dir=prod_dir,
+                    produce_type=prod_type, produce_pair=prod_pair,
+                    attack=atk_rel)
+
+    return Engine(cfg=cfg, validate=validate, issue=issue, cycle=cycle,
+                  legal_masks=legal_masks, winner=winner, gameover=gameover)

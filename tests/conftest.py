@@ -8,11 +8,17 @@ compile and execute with real collectives on one host.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The hosting image force-registers the axon TPU plugin and overwrites
+# jax.config.jax_platforms at import time (sitecustomize), so the env var
+# alone is not enough — override the config after import.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
