@@ -212,20 +212,26 @@ def make_engine(cfg: EngineConfig) -> Engine:
         a_param = jnp.where(legal, cand.aparam, eta_att)
         eta1 = eta_att  # NONE(eta_att) has the same ETA
 
-        # cross-cycle conflicts vs in-flight assignments -> only the new
-        # action cancels, as NONE() with parameter -1 (GameState.java:298-317).
-        # (a) position: claim target reserved by an in-flight MOVE/PRODUCE;
+        # cross-cycle conflicts vs assignments issued in EARLIER ticks ->
+        # only the new action cancels, as NONE() with parameter -1
+        # (GameState.java:298-317).  Assignments issued THIS tick (by an
+        # earlier issue() call, Java's sequential issueSafe per player) are
+        # same-tick and join the CANCEL_BOTH chains below instead.
+        # (a) position: claim target reserved by a prior-tick MOVE/PRODUCE;
         # (b) resource (pairwise, ResourceUsage.consistentWith :31-50): new
-        #     produce cost + the largest single in-flight produce cost of the
-        #     same player exceeds the player's stockpile.
+        #     produce cost + the largest single prior-tick produce cost of
+        #     the same player exceeds the player's stockpile.
         claim = ((a_type == MOVE) | (a_type == PRODUCE)) & ~ignore
-        inflight = state.busy & ((state.atype == MOVE) | (state.atype == PRODUCE))
+        claiming = state.busy & ((state.atype == MOVE)
+                                 | (state.atype == PRODUCE))
+        prior = state.atime < state.time
+        inflight = claiming & prior
         resv = jnp.zeros((H, W), bool)
         for d in range(4):
             resv = resv | push(inflight & (state.aparam == d), d, fill=False)
         tgt_resv = _take_dir(_dir_stack(lambda d: pull(resv, d, fill=False)),
                              cand.aparam)
-        if_pcost = jnp.where(state.busy & (state.atype == PRODUCE),
+        if_pcost = jnp.where(state.busy & prior & (state.atype == PRODUCE),
                              jnp.take(COST, jnp.clip(state.aptype, 0, T - 1)), 0)
         max_if = jnp.stack([jnp.max(jnp.where(state.owner == p, if_pcost, 0))
                             for p in (0, 1)])
@@ -240,13 +246,23 @@ def make_engine(cfg: EngineConfig) -> Engine:
         eta2 = jnp.where(xc, -1, eta1)
         claim = claim & ~xc
 
-        # same-tick CANCEL_BOTH chains per target cell (<=4 claimants)
+        # same-tick CANCEL_BOTH chains per target cell (<=4 claimants: one
+        # per neighbor — either a new candidate or a surviving same-tick
+        # claim from an earlier issue() call this tick, keyed by absolute
+        # issue order so Java's sequential pairwise scan is reproduced)
+        st_exist = claiming & ~prior
+        new_key = state.order_ctr + cand.rank
         cl, rk, et = [], [], []
         for d in range(4):
-            c_d = push(claim & (cand.aparam == d), d, fill=False)
+            n_d = claim & (cand.aparam == d)
+            e_d = st_exist & (state.aparam == d)
+            c_d = push(n_d | e_d, d, fill=False)
+            key_src = jnp.where(n_d, new_key,
+                                jnp.where(e_d, state.aorder, INF))
+            eta_src = jnp.where(n_d, eta2, jnp.where(e_d, state.aticks, 0))
             cl.append(c_d)
-            rk.append(jnp.where(c_d, push(cand.rank, d), INF))
-            et.append(jnp.where(c_d, push(eta2, d), 0))
+            rk.append(jnp.where(c_d, push(key_src, d), INF))
+            et.append(jnp.where(c_d, push(eta_src, d), 0))
         rk = jnp.stack(rk, -1)
         et = jnp.stack(et, -1)
         srcd = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
@@ -269,26 +285,38 @@ def make_engine(cfg: EngineConfig) -> Engine:
             sel = (d_s == d) & cancelled_s
             cancel_d.append(jnp.any(sel, axis=-1))
             ndur_d.append(jnp.max(jnp.where(sel, pair_min, -INF), axis=-1))
-        cancel_back = _take_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
-                                                          fill=False)),
-                                cand.aparam) & claim
-        ndur_back = _take_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
-                                                        fill=-INF)),
-                              cand.aparam)
-        a_type = jnp.where(cancel_back, NONE, a_type)
-        a_param = jnp.where(cancel_back, ndur_back, a_param)
-        eta3 = jnp.where(cancel_back, ndur_back, eta2)
+        cancel_new = _take_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
+                                                         fill=False)),
+                               cand.aparam) & claim
+        ndur_new = _take_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
+                                                       fill=-INF)),
+                             cand.aparam)
+        a_type = jnp.where(cancel_new, NONE, a_type)
+        a_param = jnp.where(cancel_new, ndur_new, a_param)
+        eta3 = jnp.where(cancel_new, ndur_new, eta2)
+        # cancel-old: a surviving same-tick claim beaten in a chain is
+        # rewritten in place to NONE(min) (GameState.java:291-293)
+        cancel_old = _take_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
+                                                         fill=False)),
+                               state.aparam) & st_exist
+        ndur_old = _take_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
+                                                       fill=-INF)),
+                             state.aparam)
 
         put = ~ignore
         return state.replace(
             busy=state.busy | put,
-            atype=jnp.where(put, a_type, state.atype),
-            aparam=jnp.where(put, a_param, state.aparam),
+            atype=jnp.where(put, a_type,
+                            jnp.where(cancel_old, NONE, state.atype)),
+            aparam=jnp.where(put, a_param,
+                             jnp.where(cancel_old, ndur_old, state.aparam)),
             atx=jnp.where(put, cand.atx, state.atx),
             aty=jnp.where(put, cand.aty, state.aty),
             aptype=jnp.where(put, cand.aptype, state.aptype),
-            aticks=jnp.where(put, eta3, state.aticks),
-            aorder=jnp.where(put, state.order_ctr + cand.rank, state.aorder),
+            aticks=jnp.where(put, eta3,
+                             jnp.where(cancel_old, ndur_old, state.aticks)),
+            aorder=jnp.where(put, new_key, state.aorder),
+            atime=jnp.where(put, state.time, state.atime),
             order_ctr=state.order_ctr + 2 * H * W,
         )
 
@@ -434,6 +462,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
         aptype_n = jnp.where(busy_n, state.aptype, 0)
         aticks_n = jnp.where(busy_n, ticks, 0)
         aorder_n = jnp.where(busy_n, state.aorder, 0)
+        atime_n = jnp.where(busy_n, state.atime, -1)
 
         # arrivals: movers
         for d in range(4):
@@ -468,8 +497,8 @@ def make_engine(cfg: EngineConfig) -> Engine:
             utype=utype_n, owner=owner_n, hp=hp_n, carried=carried_n,
             uid=uid_n, busy=busy_n, atype=atype_n, aparam=aparam_n,
             atx=atx_n, aty=aty_n, aptype=aptype_n, aticks=aticks_n,
-            aorder=aorder_n, time=state.time + 1, resources=resources_n,
-            next_id=state.next_id + n_born, key=key)
+            aorder=aorder_n, atime=atime_n, time=state.time + 1,
+            resources=resources_n, next_id=state.next_id + n_born, key=key)
         return new_state, gameover(new_state)
 
     # ------------------------------------------------------------------

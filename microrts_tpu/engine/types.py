@@ -63,6 +63,8 @@ class State(struct.PyTreeNode):
     aptype: jax.Array    # int32 produced type id
     aticks: jax.Array    # int32 ticks until completion (ETA at issue, -1 ok)
     aorder: jax.Array    # int32 global issue order (LinkedHashMap order)
+    atime: jax.Array     # int32 issue time (UnitActionAssignment.time) —
+    #                      distinguishes same-tick vs cross-cycle conflicts
     # --- scalars ---
     time: jax.Array      # int32
     resources: jax.Array  # int32[2] player stockpiles
@@ -184,7 +186,7 @@ def state_from_pgs(pgs: PhysicalGameState, cfg: EngineConfig,
         busy=jnp.zeros((h, w), bool),
         atype=jnp.asarray(z), aparam=jnp.asarray(z), atx=jnp.asarray(z),
         aty=jnp.asarray(z), aptype=jnp.asarray(z), aticks=jnp.asarray(z),
-        aorder=jnp.asarray(z),
+        aorder=jnp.asarray(z), atime=jnp.asarray(z) - 1,
         time=jnp.int32(time), resources=jnp.asarray(res),
         next_id=jnp.int32(max((u.ID for u in pgs.units), default=-1) + 1),
         order_ctr=jnp.int32(0), key=jax.random.PRNGKey(seed),

@@ -1,0 +1,419 @@
+"""Gridnet RL environment: the MicroRTS-Py-compatible primary API surface.
+
+Re-designs the ConnAALL RL bridge (SURVEY.md §2.5) as pure jittable
+functions over the device engine:
+
+* action decode  = PlayerAction.fromVectorAction (PlayerAction.java:384-417)
+  + UnitAction.fromVectorAction (UnitAction.java:675-709)
+  + fillWithNones(gs, player, 1) (JNIAI.java:53)
+* step           = JNIGridnetClientSelfPlay.gameStep (:159-190): decode p0,
+  issue, decode p1 (seeing p0's same-tick claims), issue, cycle, rewards
+* observation    = GameState.getVectorObservation (:922-968), 6 int planes
+* masks          = JNIGridnetClient layout (:60-99):
+  [can-act, 6 types, 4 move, 4 harvest, 4 return, 4 produce-dir, T types,
+   (2R+1)^2 relative attack]
+* rewards        = ai/reward/* implementations, computed from the decoded
+  PlayerAction + pre/post states like the Java clients do
+
+Decode-order semantics: Java scans the action array sequentially, merging
+each kept action's ResourceUsage cumulatively (positions + per-player
+costs, in-flight included).  Only PRODUCE actions consume budget and only
+MOVE/PRODUCE claim cells, so the only genuinely sequential part is the
+produce budget; it runs as a short fori_loop over the first
+``max_produce_scan`` produce candidates in rank order, and position
+conflicts resolve vectorized as min-rank-wins against moves + kept
+produces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import kernel as K
+from ..engine.pgs import PhysicalGameState
+from ..engine.types import (ATTACK, HARVEST, INF, MOVE, NONE, PRODUCE, RETURN,
+                            Candidates, EngineConfig, State, state_from_pgs)
+from ..engine.utt import UnitTypeTable
+
+REWARD_NAMES = (
+    "winloss", "resourcegather", "produceworker", "producebuilding",
+    "producecombat", "attack", "closertoenemybase", "closertoenemyunit",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    engine: EngineConfig
+    max_produce_scan: int = 16
+    reward_fns: Tuple[str, ...] = REWARD_NAMES[:6]
+    # type-name ids for name-based rewards (-1 = absent in this UTT)
+    worker_id: int = -1
+    base_id: int = -1
+    barracks_id: int = -1
+    light_id: int = -1
+    heavy_id: int = -1
+    ranged_id: int = -1
+
+
+class GridnetEnv:
+    """Single-map gridnet env.  All methods are pure and jittable; batching
+    is the caller's `vmap` (see env.vec for the auto-resetting vector env)."""
+
+    def __init__(self, map_path: str, utt: Optional[UnitTypeTable] = None,
+                 reward_fns: Sequence[str] = REWARD_NAMES[:6],
+                 max_produce_scan: int = 16):
+        self.utt = utt if utt is not None else UnitTypeTable(2)
+        self.pgs0 = PhysicalGameState.load(map_path, self.utt)
+        self.h, self.w = self.pgs0.height, self.pgs0.width
+        ecfg = EngineConfig.from_utt(self.utt, self.h, self.w)
+        self.engine = K.make_engine(ecfg)
+
+        def tid(name):
+            ut = self.utt.get_unit_type(name)
+            return ut.ID if ut is not None else -1
+
+        self.cfg = EnvConfig(
+            engine=ecfg, max_produce_scan=max_produce_scan,
+            reward_fns=tuple(reward_fns),
+            worker_id=tid("Worker"), base_id=tid("Base"),
+            barracks_id=tid("Barracks"), light_id=tid("Light"),
+            heavy_id=tid("Heavy"), ranged_id=tid("Ranged"))
+        self._init_state = state_from_pgs(self.pgs0.clone(), ecfg)
+
+    @property
+    def num_rewards(self) -> int:
+        return len(self.cfg.reward_fns)
+
+    @property
+    def action_dim(self) -> int:
+        """Per-cell action component sizes [6, 4, 4, 4, 4, T, (2R+1)^2]."""
+        return 7
+
+    def action_nvec(self):
+        d = 2 * self.cfg.engine.max_range + 1
+        return np.array([6, 4, 4, 4, 4, self.cfg.engine.num_types, d * d])
+
+    # ------------------------------------------------------------------
+    def reset(self, key: jax.Array) -> State:
+        return self._init_state.replace(key=key)
+
+    # ------------------------------------------------------------------
+    def decode(self, state: State, actions: jax.Array, player,
+               claimed0: jax.Array, spent0: jax.Array) -> Tuple[Candidates,
+                                                                jax.Array,
+                                                                jax.Array]:
+        """PlayerAction.fromVectorAction for one player.
+
+        ``actions``: int32 [H, W, 7] gridnet components
+        ``claimed0``: bool [H, W] cells claimed by in-flight reservations and
+        (for p1) the other player's same-tick kept claims.
+        ``spent0``: int32 scalar, this player's in-flight produce costs.
+        Returns (candidates incl. NONE(1) pads, claimed', spent')."""
+        cfg = self.cfg.engine
+        H, W, T = self.h, self.w, cfg.num_types
+        R = cfg.max_range
+        D = 2 * R + 1
+        COST = jnp.asarray(cfg.cost, jnp.int32)
+
+        me = jnp.int32(player)
+        present = (state.utype > 0) & (state.owner == me) & ~state.busy
+
+        at = actions[..., 0]
+        aparam = jnp.select(
+            [at == MOVE, at == HARVEST, at == RETURN, at == PRODUCE],
+            [actions[..., 1], actions[..., 2], actions[..., 3],
+             actions[..., 4]],
+            default=jnp.where(at == NONE, -1, 0))
+        aptype = jnp.clip(actions[..., 5], 0, T - 1)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        rel = actions[..., 6]
+        atx = jnp.where(at == ATTACK, xs + rel % D - R, 0)
+        aty = jnp.where(at == ATTACK, ys + rel // D - R, 0)
+
+        rank = (ys * W + xs).astype(jnp.int32)
+        cand_ok = present & (at >= 0) & (at < 6)
+
+        # --- claims (MOVE / PRODUCE): target cell + budget bookkeeping
+        is_claim = cand_ok & ((at == MOVE) | (at == PRODUCE))
+        dparam = jnp.clip(aparam, 0, 3)
+        dxs = jnp.asarray((0, 1, 0, -1), jnp.int32)[dparam]
+        dys = jnp.asarray((-1, 0, 1, 0), jnp.int32)[dparam]
+        ttx = jnp.clip(xs + dxs, 0, W - 1)
+        tty = jnp.clip(ys + dys, 0, H - 1)
+        tgt = tty * W + ttx
+        # drop claims on in-flight/previous reservations (base_ru positions)
+        blocked0 = is_claim & claimed0.reshape(-1)[tgt.reshape(-1)].reshape(H, W)
+        is_claim = is_claim & ~blocked0
+
+        is_move = is_claim & (at == MOVE)
+        is_prod = is_claim & (at == PRODUCE)
+        pcost = jnp.where(is_prod, jnp.take(COST, aptype), 0)
+
+        # min move-claim rank per target cell (moves never fail on budget)
+        move_rank_at = jnp.full(H * W, INF, jnp.int32).at[
+            jnp.where(is_move.reshape(-1), tgt.reshape(-1), 0)
+        ].min(jnp.where(is_move.reshape(-1), rank.reshape(-1), INF))
+
+        # sequential budget scan over produce candidates in rank order
+        Kp = self.cfg.max_produce_scan
+        prod_key = jnp.where(is_prod, rank, INF).reshape(-1)
+        order = jnp.argsort(prod_key)[:Kp]
+        balance = jnp.take(state.resources, jnp.clip(me, 0, 1))
+
+        def scan_body(carry, cell):
+            spent, claimed_by_prod, kept = carry
+            r = prod_key[cell]
+            valid = r < INF
+            c = pcost.reshape(-1)[cell]
+            x = tgt.reshape(-1)[cell]
+            pos_ok = (r < move_rank_at[x]) & ~claimed_by_prod[x]
+            # ResourceUsage.consistentWith zero-skip (:31-50): the first
+            # produce is never budget-dropped when nothing is accumulated
+            res_ok = (spent == 0) | (spent + c <= balance)
+            keep = valid & pos_ok & res_ok
+            spent = spent + jnp.where(keep, c, 0)
+            claimed_by_prod = claimed_by_prod.at[x].set(
+                claimed_by_prod[x] | keep)
+            kept = kept.at[cell].set(keep)
+            return (spent, claimed_by_prod, kept), None
+
+        (spent1, claimed_by_prod, prod_kept_f), _ = jax.lax.scan(
+            scan_body,
+            (spent0, jnp.zeros(H * W, bool), jnp.zeros(H * W, bool)),
+            order)
+        prod_kept = prod_kept_f.reshape(H, W) & is_prod
+        # produce candidates beyond the scan window are dropped (NONE(1) pad)
+        prod_rank_at = jnp.full(H * W, INF, jnp.int32).at[
+            jnp.where(prod_kept.reshape(-1), tgt.reshape(-1), 0)
+        ].min(jnp.where(prod_kept.reshape(-1), rank.reshape(-1), INF))
+        move_kept = is_move & (rank == move_rank_at[tgt]) \
+            & (rank < prod_rank_at[tgt])
+
+        keep = ((cand_ok & (at != MOVE) & (at != PRODUCE))
+                | move_kept | prod_kept)
+        # fillWithNones(gs, player, 1): own idle units without a kept action
+        pad = present & ~keep
+        atype_out = jnp.where(keep, at, jnp.where(pad, NONE, -1))
+        aparam_out = jnp.where(keep, aparam, jnp.where(pad, 1, 0))
+        rank_out = jnp.where(keep, rank,
+                             jnp.where(pad, H * W + rank, INF))
+        kept_claim = (move_kept | prod_kept).reshape(-1)
+        claim_tgts = jnp.where(kept_claim, tgt.reshape(-1), H * W)
+        claimed1 = claimed0 | jnp.zeros(H * W + 1, bool).at[
+            claim_tgts].set(True)[:H * W].reshape(H, W)
+
+        cand = Candidates(atype=atype_out, aparam=aparam_out, atx=atx,
+                          aty=aty, aptype=aptype, rank=rank_out)
+        return cand, claimed1, spent1
+
+    def _inflight_claims(self, state: State) -> jax.Array:
+        inflight = state.busy & ((state.atype == MOVE)
+                                 | (state.atype == PRODUCE))
+        resv = jnp.zeros((self.h, self.w), bool)
+        for d in range(4):
+            resv = resv | K.push(inflight & (state.aparam == d), d, fill=False)
+        return resv
+
+    def _inflight_spent(self, state: State, player) -> jax.Array:
+        COST = jnp.asarray(self.cfg.engine.cost, jnp.int32)
+        pc = jnp.where(state.busy & (state.atype == PRODUCE)
+                       & (state.owner == player),
+                       jnp.take(COST,
+                                jnp.clip(state.aptype, 0,
+                                         self.cfg.engine.num_types - 1)), 0)
+        return jnp.sum(pc)
+
+    # ------------------------------------------------------------------
+    def step(self, state: State, a0: jax.Array, a1: jax.Array):
+        """Self-play step (JNIGridnetClientSelfPlay.gameStep :159-190):
+        decode p0 -> decode p1 (sees p0's claims) -> one merged issue ->
+        cycle -> rewards.  Returns (state', rewards [2, NR], done)."""
+        pre = state
+        claimed = self._inflight_claims(state)
+        c0, claimed, _ = self.decode(state, a0, 0, claimed,
+                                     self._inflight_spent(state, 0))
+        c1, _, _ = self.decode(state, a1, 1, claimed,
+                               self._inflight_spent(state, 1))
+        # merge: p0's ranks all before p1's (sequential issueSafe calls)
+        HW2 = 2 * self.h * self.w
+        merged = Candidates(
+            atype=jnp.where(c1.atype >= 0, c1.atype, c0.atype),
+            aparam=jnp.where(c1.atype >= 0, c1.aparam, c0.aparam),
+            atx=jnp.where(c1.atype >= 0, c1.atx, c0.atx),
+            aty=jnp.where(c1.atype >= 0, c1.aty, c0.aty),
+            aptype=jnp.where(c1.atype >= 0, c1.aptype, c0.aptype),
+            rank=jnp.where(c1.atype >= 0, HW2 + c1.rank, c0.rank))
+        state = self.engine.issue(state, merged)
+        state, done = self.engine.cycle(state)
+        r0 = self._rewards(pre, c0, 0, state)
+        r1 = self._rewards(pre, c1, 1, state)
+        return state, jnp.stack([r0, r1]), done
+
+    def step_vs(self, state: State, a0: jax.Array, bot_fn):
+        """Step with an external player-0 action and an on-device scripted
+        opponent (JNIGridnetClient.gameStep semantics)."""
+        pre = state
+        claimed = self._inflight_claims(state)
+        c0, claimed, _ = self.decode(state, a0, 0, claimed,
+                                     self._inflight_spent(state, 0))
+        state1 = self.engine.issue(state, c0)
+        c1 = bot_fn(state1, 1)
+        state1 = self.engine.issue(state1, c1)
+        state1, done = self.engine.cycle(state1)
+        r0 = self._rewards(pre, c0, 0, state1)
+        return state1, r0, done
+
+    # ------------------------------------------------------------------
+    # observations
+
+    def observation(self, state: State, player) -> jax.Array:
+        """GameState.getVectorObservation (:922-968): int32 [6, H, W] planes
+        hp, carried, owner-relative, type+1, current-action-type, walls."""
+        exists = state.utype > 0
+        me = jnp.int32(player)
+        ownerp = jnp.where(exists & (state.owner >= 0),
+                           ((state.owner + me) % 2) + 1, 0)
+        actp = jnp.where(exists & state.busy, state.atype, 0)
+        return jnp.stack([
+            jnp.where(exists, state.hp, 0),
+            jnp.where(exists, state.carried, 0),
+            ownerp,
+            jnp.where(exists, state.utype, 0),
+            actp,
+            state.terrain,
+        ]).astype(jnp.int32)
+
+    def observation_onehot(self, state: State, player) -> jax.Array:
+        """MicroRTS-Py-style binarized observation [H, W, 5+5+3+(T+1)+6]
+        (the Python-side binarization the reference defers, GameState.java:45)."""
+        T = self.cfg.engine.num_types
+        obs = self.observation(state, player)  # [6, H, W]
+        hp = jax.nn.one_hot(jnp.clip(obs[0], 0, 4), 5)
+        res = jax.nn.one_hot(jnp.clip(obs[1], 0, 4), 5)
+        own = jax.nn.one_hot(obs[2], 3)
+        typ = jax.nn.one_hot(obs[3], T + 1)
+        act = jax.nn.one_hot(obs[4], 6)
+        return jnp.concatenate([hp, res, own, typ, act], axis=-1)
+
+    def masks(self, state: State, player) -> jax.Array:
+        """int32 [H, W, 1+6+4+4+4+4+T+(2R+1)^2] (JNIGridnetClient :60-99)."""
+        m = self.engine.legal_masks(state, player)
+        return jnp.concatenate(
+            [m["can_act"][..., None], m["type"], m["move"], m["harvest"],
+             m["ret"], m["produce_dir"], m["produce_type"], m["attack"]],
+            axis=-1).astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    def dones(self, state: State) -> jax.Array:
+        """Per-reward-function done flags (RewardFunctionInterface.isDone):
+        winloss -> gameover; resourcegather -> no resource left with
+        stock > 0 (ResourceGatherRewardFunction); others always False."""
+        eng = self.engine
+        out = []
+        T = self.cfg.engine.num_types
+        IS_RES = jnp.asarray(self.cfg.engine.is_resource, bool)
+        for name in self.cfg.reward_fns:
+            if name == "winloss":
+                out.append(eng.gameover(state))
+            elif name == "resourcegather":
+                t = jnp.clip(state.utype - 1, 0, T - 1)
+                node = (state.utype > 0) & jnp.take(IS_RES, t)
+                out.append(~jnp.any(node & (state.carried > 0)))
+            else:
+                out.append(jnp.asarray(False))
+        return jnp.stack(out)
+
+    # ------------------------------------------------------------------
+    # rewards (ai/reward/*; computed like the Java clients: from the decoded
+    # PlayerAction of this tick + the pre/post states)
+
+    def _rewards(self, pre: State, cand: Candidates, player,
+                 after: State) -> jax.Array:
+        cfg = self.cfg
+        me = jnp.int32(player)
+        acted = (cand.atype >= 0) & (pre.owner == me) & (pre.utype > 0)
+        out = []
+        for name in cfg.reward_fns:
+            out.append(self._reward_one(name, pre, cand, acted, me, after))
+        return jnp.stack(out)
+
+    def _reward_one(self, name, pre, cand, acted, me, after):
+        cfg = self.cfg
+        eng = self.engine
+        if name == "winloss":
+            over = eng.gameover(after)
+            return jnp.where(over,
+                             jnp.where(eng.winner(after) == me, 1.0, -1.0),
+                             0.0)
+        if name == "resourcegather":
+            n = jnp.sum(acted & ((cand.atype == HARVEST)
+                                 | (cand.atype == RETURN)))
+            return n.astype(jnp.float32)
+        if name == "produceworker":
+            n = jnp.sum(acted & (cand.atype == PRODUCE)
+                        & (cand.aptype == cfg.worker_id))
+            return n.astype(jnp.float32)
+        if name == "producebuilding":
+            n = jnp.sum(acted & (cand.atype == PRODUCE)
+                        & ((cand.aptype == cfg.base_id)
+                           | (cand.aptype == cfg.barracks_id)))
+            return n.astype(jnp.float32)
+        if name == "producecombat":
+            n = jnp.sum(acted & (cand.atype == PRODUCE)
+                        & ((cand.aptype == cfg.light_id)
+                           | (cand.aptype == cfg.heavy_id)
+                           | (cand.aptype == cfg.ranged_id)))
+            return n.astype(jnp.float32)
+        if name == "attack":
+            # AttackRewardFunction: +1 per attack aimed at an enemy-occupied
+            # cell, -1 at an own-occupied cell (pre-step board)
+            H, W = self.h, self.w
+            tix = (jnp.clip(cand.aty, 0, H - 1) * W
+                   + jnp.clip(cand.atx, 0, W - 1)).reshape(-1)
+            vo = pre.owner.reshape(-1)[tix].reshape(H, W)
+            vt = pre.utype.reshape(-1)[tix].reshape(H, W)
+            atk = acted & (cand.atype == ATTACK) & (vt > 0)
+            pos = jnp.sum(atk & (vo == 1 - me))
+            neg = jnp.sum(atk & (vo == me))
+            return (pos - neg).astype(jnp.float32)
+        if name in ("closertoenemybase", "closertoenemyunit"):
+            return self._closer_reward(name, pre, after, me)
+        raise ValueError(f"unknown reward fn {name!r}")
+
+    def _closer_reward(self, name, pre, after, me):
+        cfg = self.cfg
+        H, W = self.h, self.w
+        xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+
+        def min_dist(state, bx, by, has_target):
+            mobile = ((state.utype > 0) & (state.owner == me)
+                      & ((state.utype - 1 == cfg.worker_id)
+                         | (state.utype - 1 == cfg.light_id)
+                         | (state.utype - 1 == cfg.heavy_id)
+                         | (state.utype - 1 == cfg.ranged_id)))
+            d = jnp.sqrt((xs - bx) ** 2 + (ys - by) ** 2)
+            return jnp.min(jnp.where(mobile, d, jnp.inf))
+
+        if name == "closertoenemybase":
+            tgt = (pre.utype - 1 == cfg.base_id) & (pre.owner == 1 - me)
+        else:
+            tgt = (pre.utype > 0) & (pre.owner == 1 - me)
+        has = jnp.any(tgt)
+        # first target in row-major order (Java breaks on first in list
+        # order; equal when there is a single enemy base, the common case)
+        idx = jnp.argmax(tgt.reshape(-1))
+        bx = (idx % W).astype(jnp.float32)
+        by = (idx // W).astype(jnp.float32)
+        d_old = min_dist(pre, bx, by, has)
+        d_new = min_dist(after, bx, by, has)
+        r = jnp.where(jnp.isfinite(d_old) & jnp.isfinite(d_new),
+                      d_old - d_new, 0.0)
+        return jnp.where(has, r, 0.0)

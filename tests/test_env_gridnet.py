@@ -1,0 +1,81 @@
+"""Gridnet env: differential parity with the Java client flow + API sanity.
+
+The fuzz harness replicates, oracle-side, the exact sequential decode/issue
+of JNIGridnetClientSelfPlay.gameStep (:159-190) incl. fromVectorAction's
+cumulative ResourceUsage checks, and diffs full state every tick.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microrts_tpu.engine.utt import UnitTypeTable
+from microrts_tpu.env.gridnet import GridnetEnv
+from microrts_tpu.interop.fuzz_gridnet import gridnet_playout_diff
+
+MAPS = "/root/reference/maps"
+
+CASES = [
+    ("melee4x4light2.xml", 2),
+    ("8x8/basesWorkers8x8.xml", 2),
+    ("8x8/basesWorkersBarracks8x8.xml", 2),
+    ("8x8/FourBasesWorkers8x8.xml", 1),
+    ("16x16/TwoBasesBarracks16x16.xml", 2),
+]
+
+
+@pytest.mark.parametrize("map_name,version", CASES,
+                         ids=[f"{m}-v{v}" for m, v in CASES])
+def test_gridnet_parity(map_name, version):
+    n = gridnet_playout_diff(f"{MAPS}/{map_name}", UnitTypeTable(version),
+                             steps=250, seed=hash((map_name, version)) % 997)
+    assert n > 0
+
+
+def test_obs_and_masks_shapes():
+    env = GridnetEnv(f"{MAPS}/8x8/basesWorkers8x8.xml")
+    s = env.reset(jax.random.PRNGKey(0))
+    obs = env.observation(s, 0)
+    assert obs.shape == (6, 8, 8)
+    o1 = env.observation_onehot(s, 0)
+    T = env.cfg.engine.num_types
+    assert o1.shape == (8, 8, 5 + 5 + 3 + (T + 1) + 6)
+    D = 2 * env.cfg.engine.max_range + 1
+    mk = env.masks(s, 0)
+    assert mk.shape == (8, 8, 1 + 6 + 16 + T + D * D)
+    # owner-relative plane: own units are 1 for each player's own view
+    obs0, obs1 = env.observation(s, 0), env.observation(s, 1)
+    own0 = np.asarray(obs0[2]) == 1
+    own1 = np.asarray(obs1[2]) == 1
+    assert own0.sum() > 0 and own1.sum() > 0
+    assert not (own0 & own1).any()
+
+
+def test_rewards_basic():
+    """Harvest + produce events produce the documented reward pulses."""
+    env = GridnetEnv(f"{MAPS}/8x8/basesWorkers8x8.xml",
+                     reward_fns=("winloss", "resourcegather",
+                                 "produceworker", "attack"))
+    s = env.reset(jax.random.PRNGKey(0))
+    h, w = 8, 8
+    a0 = np.zeros((h, w, 7), np.int64)
+    a1 = np.zeros((h, w, 7), np.int64)
+    # player 0 base at? find base cell and produce a worker toward a free dir
+    utype = np.asarray(s.utype)
+    owner = np.asarray(s.owner)
+    base_id = env.cfg.base_id
+    by, bx = [(y, x) for y, x in zip(*np.nonzero((utype - 1 == base_id)
+                                                 & (owner == 0)))][0]
+    free_dir = None
+    for d, (dx, dy) in enumerate(zip((0, 1, 0, -1), (-1, 0, 1, 0))):
+        ny, nx = by + dy, bx + dx
+        if 0 <= ny < h and 0 <= nx < w and utype[ny, nx] == 0:
+            free_dir = d
+            break
+    a0[by, bx] = [4, 0, 0, 0, free_dir, env.cfg.worker_id, 0]
+    s2, rewards, done = env.step(s, jnp.asarray(a0, jnp.int32),
+                                 jnp.asarray(a1, jnp.int32))
+    r0 = np.asarray(rewards[0])
+    assert r0[2] == 1.0  # produceworker pulse
+    assert r0[0] == 0.0 and not bool(done)
