@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..engine import kernel as K
+from ..engine.kernel import make_lookup
 from ..engine.types import ATTACK, HARVEST, MOVE, NONE, PRODUCE, RETURN, State
 from ..env.gridnet import GridnetEnv
 from ..ops.fields import descend_direction, distance_field
@@ -95,12 +96,12 @@ def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
     H, W, T = env.h, env.w, ecfg.num_types
     R = ecfg.max_range
     D = 2 * R + 1
-    COST = jnp.asarray(ecfg.cost, jnp.int32)
-    CAN_ATK = jnp.asarray(ecfg.can_attack, bool)
-    CAN_HARV = jnp.asarray(ecfg.can_harvest, bool)
-    IS_RES = jnp.asarray(ecfg.is_resource, bool)
-    IS_STOCK = jnp.asarray(ecfg.is_stockpile, bool)
-    RANGE = jnp.asarray(ecfg.attack_range, jnp.int32)
+    COST = tuple(ecfg.cost)
+    lk_atk = make_lookup(ecfg.can_attack, bool)
+    lk_harv = make_lookup(ecfg.can_harvest, bool)
+    lk_res = make_lookup(ecfg.is_resource, bool)
+    lk_stock = make_lookup(ecfg.is_stockpile, bool)
+    lk_range = make_lookup(ecfg.attack_range)
     combat_id = getattr(cfg, f"{spec.combat_type.lower()}_id")
     need_barracks = spec.combat_type != "Worker" and cfg.barracks_id >= 0
     iters = H + W
@@ -112,8 +113,8 @@ def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
         mine = exists & (state.owner == me)
         idle = mine & ~state.busy
         enemy = exists & (state.owner >= 0) & (state.owner != me)
-        resource = exists & jnp.take(IS_RES, t)
-        my_base = mine & jnp.take(IS_STOCK, t)
+        resource = exists & lk_res(t)
+        my_base = mine & lk_stock(t)
         my_barracks = mine & (t == cfg.barracks_id) if need_barracks \
             else jnp.zeros_like(mine)
 
@@ -124,7 +125,8 @@ def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
         d_res = distance_field(resource, passable, iters)
         d_base = distance_field(my_base, passable, iters)
 
-        balance = jnp.take(state.resources, jnp.clip(me, 0, 1))
+        balance = jnp.where(me == 1, state.resources[1],
+                            state.resources[0])
 
         out = jnp.zeros((H, W, 7), jnp.int32)
 
@@ -143,7 +145,7 @@ def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
             out = _set(out, train_c, PRODUCE, pdir=tdir, ptype=combat_id)
 
         # ---- harvesters: lowest-uid workers run the harvest loop
-        worker = mine & jnp.take(CAN_HARV, t)
+        worker = mine & lk_harv(t)
         harv_rank = _rank_by_uid(worker, state.uid)
         is_harv = worker & (harv_rank < spec.n_harvesters)
         hu = idle & is_harv
@@ -180,9 +182,9 @@ def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
             fighter_min_rank = spec.n_harvesters
 
         # ---- fighters: attack in range else move toward nearest enemy
-        fighter = (idle & mine & jnp.take(CAN_ATK, t)
+        fighter = (idle & mine & lk_atk(t)
                    & (~worker | (harv_rank >= fighter_min_rank)))
-        rng = jnp.take(RANGE, t)
+        rng = lk_range(t)
         # nearest in-range enemy: scan the (2R+1)^2 disc, closest-first
         best = jnp.full((H, W), 0, jnp.int32)
         found = jnp.zeros((H, W), bool)

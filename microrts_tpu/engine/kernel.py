@@ -78,6 +78,53 @@ def pull(p: jax.Array, d: int, fill=0) -> jax.Array:
     return _shift(p, -DIR_X[d], -DIR_Y[d], fill)
 
 
+def make_lookup(values, dtype=jnp.int32):
+    """Static small-table lookup as unrolled selects: `jnp.take` from a tiny
+    table lowers to a general gather on TPU (~1 ms per use on a [2048,16,16]
+    index at time of writing, vs ~6 us for the select chain)."""
+    vals = list(values)
+
+    def lk(idx):
+        acc = jnp.full(idx.shape, vals[0], dtype)
+        for i in range(1, len(vals)):
+            if vals[i] != vals[0]:
+                acc = jnp.where(idx == i, dtype(vals[i]), acc)
+        return acc
+
+    return lk
+
+
+def select_dir(stack, param):
+    """stack[..., d] picked per-cell by direction plane `param` (unrolled
+    4-way select; take_along_axis gathers are slow on TPU)."""
+    acc = stack[..., 0]
+    for d in range(1, 4):
+        acc = jnp.where(param == d, stack[..., d], acc)
+    return acc
+
+
+def sort4(keys, *payloads):
+    """Sort 4 elements along the last axis by ``keys`` with an explicit
+    5-comparator network (generic lax.sort lowers poorly on TPU for tiny
+    fixed widths).  Returns (keys_sorted, *payloads_sorted)."""
+    arrs = (keys,) + payloads
+
+    def cswap(arrs, i, j):
+        swap = arrs[0][..., i] > arrs[0][..., j]
+
+        def sw(a):
+            ai, aj = a[..., i], a[..., j]
+            a = a.at[..., i].set(jnp.where(swap, aj, ai))
+            a = a.at[..., j].set(jnp.where(swap, ai, aj))
+            return a
+
+        return tuple(sw(a) for a in arrs)
+
+    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        arrs = cswap(arrs, i, j)
+    return arrs
+
+
 # ----------------------------------------------------------------------
 
 class Engine(NamedTuple):
@@ -99,25 +146,32 @@ def make_engine(cfg: EngineConfig) -> Engine:
     DIAM = 2 * R + 1
 
     # UTT constants, folded into the program
-    COST = jnp.asarray(cfg.cost, jnp.int32)
-    THP = jnp.asarray(cfg.hp, jnp.int32)
-    MIN_D = jnp.asarray(cfg.min_damage, jnp.int32)
-    MAX_D = jnp.asarray(cfg.max_damage, jnp.int32)
-    RANGE = jnp.asarray(cfg.attack_range, jnp.int32)
-    PROD_T = jnp.asarray(cfg.produce_time, jnp.int32)
-    MOVE_T = jnp.asarray(cfg.move_time, jnp.int32)
-    ATK_T = jnp.asarray(cfg.attack_time, jnp.int32)
-    HARV_T = jnp.asarray(cfg.harvest_time, jnp.int32)
-    HARV_A = jnp.asarray(cfg.harvest_amount, jnp.int32)
-    IS_RES = jnp.asarray(cfg.is_resource, bool)
-    IS_STOCK = jnp.asarray(cfg.is_stockpile, bool)
-    CAN_HARV = jnp.asarray(cfg.can_harvest, bool)
-    CAN_MOVE = jnp.asarray(cfg.can_move, bool)
-    CAN_ATK = jnp.asarray(cfg.can_attack, bool)
-    PRODUCES = jnp.asarray(cfg.produces, bool)  # [T, T]
+    COST = tuple(cfg.cost)
+    THP = tuple(cfg.hp)
+    MIN_D = tuple(cfg.min_damage)
+    MAX_D = tuple(cfg.max_damage)
+    RANGE = tuple(cfg.attack_range)
+    PROD_T = tuple(cfg.produce_time)
+    MOVE_T = tuple(cfg.move_time)
+    ATK_T = tuple(cfg.attack_time)
+    HARV_T = tuple(cfg.harvest_time)
+    HARV_A = tuple(cfg.harvest_amount)
+    IS_RES = tuple(cfg.is_resource)
+    IS_STOCK = tuple(cfg.is_stockpile)
+    CAN_HARV = tuple(cfg.can_harvest)
+    CAN_MOVE = tuple(cfg.can_move)
+    CAN_ATK = tuple(cfg.can_attack)
+    PRODUCES = cfg.produces  # [T][T] static bools
 
-    def tprop(arr, t):
-        return jnp.take(arr, t, axis=0)
+    def tprop(vals, t):
+        "Unrolled static-table lookup (gathers are slow on TPU)."
+        is_bool = isinstance(vals[0], bool)
+        dt = bool if is_bool else jnp.int32
+        acc = jnp.full(t.shape, vals[0], dt)
+        for i in range(1, len(vals)):
+            if vals[i] != vals[0]:
+                acc = jnp.where(t == i, dt(vals[i]), acc)
+        return acc
 
     def _unit_ctx(state: State):
         t = jnp.clip(state.utype - 1, 0, T - 1)
@@ -136,9 +190,6 @@ def make_engine(cfg: EngineConfig) -> Engine:
     def _dir_stack(fn):
         return jnp.stack([fn(d) for d in range(4)], axis=-1)  # [H,W,4]
 
-    def _take_dir(stack, param):
-        return jnp.take_along_axis(
-            stack, jnp.clip(param, 0, 3)[..., None], axis=-1)[..., 0]
 
     def validate(state: State, cand: Candidates) -> jax.Array:
         """Per-cell: is this specific candidate action legal for this unit?
@@ -159,30 +210,42 @@ def make_engine(cfg: EngineConfig) -> Engine:
         pt = jnp.clip(cand.aptype, 0, T - 1)
 
         legal_none = at == NONE
-        legal_move = (at == MOVE) & tprop(CAN_MOVE, t) & _take_dir(free_d, param)
+        legal_move = (at == MOVE) & tprop(CAN_MOVE, t) & select_dir(free_d, param)
         legal_harv = ((at == HARVEST) & tprop(CAN_HARV, t)
-                      & (state.carried == 0) & _take_dir(res_d, param))
+                      & (state.carried == 0) & select_dir(res_d, param))
         legal_ret = ((at == RETURN) & tprop(CAN_HARV, t)
-                     & (state.carried > 0) & _take_dir(own_stock_d, param))
-        afford = jnp.take(COST, pt) <= jnp.take(
-            state.resources, jnp.clip(me, 0, 1))
-        producible = PRODUCES[t, pt]
+                     & (state.carried > 0) & select_dir(own_stock_d, param))
+        afford = tprop(COST, pt) <= jnp.where(
+            me == 1, state.resources[1], state.resources[0])
+        producible = jnp.zeros(t.shape, bool)
+        for i, row in enumerate(PRODUCES):
+            for j, v in enumerate(row):
+                if v:
+                    producible = producible | ((t == i) & (pt == j))
         legal_prod = ((at == PRODUCE) & producible & afford
-                      & _take_dir(free_d, param))
+                      & select_dir(free_d, param))
         # attack: enemy unit at absolute (atx, aty) within squared range
-        # (Unit.java:409-436; range-1 4-adjacency == d2 <= 1 for distinct cells)
-        tx = jnp.clip(cand.atx, 0, W - 1)
-        ty = jnp.clip(cand.aty, 0, H - 1)
-        inb = (cand.atx >= 0) & (cand.atx < W) & (cand.aty >= 0) & (cand.aty < H)
-        tix = ty * W + tx
-        vt = state.utype.reshape(-1)[tix]
-        vo = state.owner.reshape(-1)[tix]
+        # (Unit.java:409-436; range-1 4-adjacency == d2 <= 1 for distinct
+        # cells).  The target offset is scanned over the static (2R+1)^2
+        # box with dense shifts — no gathers, which lower poorly on TPU.
         xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
         ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        d2 = (cand.atx - xs) ** 2 + (cand.aty - ys) ** 2
-        rng = tprop(RANGE, t)
-        legal_atk = ((at == ATTACK) & tprop(CAN_ATK, t) & inb
-                     & (vt > 0) & (vo >= 0) & (vo != me) & (d2 <= rng * rng))
+        dxp = cand.atx - xs
+        dyp = cand.aty - ys
+        rng2 = tprop(RANGE, t) ** 2
+        occ = state.utype > 0
+        hit = jnp.zeros((H, W), bool)
+        for oy in range(-R, R + 1):
+            for ox in range(-R, R + 1):
+                d2 = ox * ox + oy * oy
+                if d2 == 0 or d2 > R * R:
+                    continue
+                occ_t = _shift(occ, -ox, -oy, fill=False)
+                own_t = _shift(state.owner, -ox, -oy, fill=-1)
+                # enemy-ness is relative to the ATTACKER's owner
+                hit = hit | ((dxp == ox) & (dyp == oy) & (d2 <= rng2)
+                             & occ_t & (own_t >= 0) & (own_t != me))
+        legal_atk = (at == ATTACK) & tprop(CAN_ATK, t) & hit
 
         return (exists & (legal_none | legal_move | legal_harv | legal_ret
                           | legal_prod | legal_atk))
@@ -195,7 +258,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
             [cand.atype == NONE, cand.atype == MOVE, cand.atype == HARVEST,
              cand.atype == RETURN, cand.atype == PRODUCE, cand.atype == ATTACK],
             [cand.aparam, tprop(MOVE_T, t), tprop(HARV_T, t),
-             tprop(MOVE_T, t), jnp.take(PROD_T, pt), tprop(ATK_T, t)],
+             tprop(MOVE_T, t), tprop(PROD_T, pt), tprop(ATK_T, t)],
             default=jnp.int32(0))
 
     # ------------------------------------------------------------------
@@ -229,15 +292,15 @@ def make_engine(cfg: EngineConfig) -> Engine:
         resv = jnp.zeros((H, W), bool)
         for d in range(4):
             resv = resv | push(inflight & (state.aparam == d), d, fill=False)
-        tgt_resv = _take_dir(_dir_stack(lambda d: pull(resv, d, fill=False)),
+        tgt_resv = select_dir(_dir_stack(lambda d: pull(resv, d, fill=False)),
                              cand.aparam)
         if_pcost = jnp.where(state.busy & prior & (state.atype == PRODUCE),
-                             jnp.take(COST, jnp.clip(state.aptype, 0, T - 1)), 0)
+                             tprop(COST, jnp.clip(state.aptype, 0, T - 1)), 0)
         max_if = jnp.stack([jnp.max(jnp.where(state.owner == p, if_pcost, 0))
                             for p in (0, 1)])
-        my_bal = jnp.take(state.resources, jnp.clip(state.owner, 0, 1))
-        my_max_if = jnp.take(max_if, jnp.clip(state.owner, 0, 1))
-        new_cost = jnp.take(COST, jnp.clip(cand.aptype, 0, T - 1))
+        my_bal = jnp.where(state.owner == 1, state.resources[1], state.resources[0])
+        my_max_if = jnp.where(state.owner == 1, max_if[1], max_if[0])
+        new_cost = tprop(COST, jnp.clip(cand.aptype, 0, T - 1))
         res_xc = ((a_type == PRODUCE) & ~ignore
                   & (new_cost + my_max_if > my_bal))
         xc = (claim & tgt_resv) | res_xc
@@ -266,7 +329,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
         rk = jnp.stack(rk, -1)
         et = jnp.stack(et, -1)
         srcd = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
-        rk_s, et_s, d_s = jax.lax.sort((rk, et, srcd), dimension=-1, num_keys=1)
+        rk_s, et_s, d_s = sort4(rk, et, srcd)
         valid_s = rk_s < INF
         m = jnp.sum(valid_s, axis=-1)  # claimant count per cell
         k_idx = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
@@ -285,10 +348,10 @@ def make_engine(cfg: EngineConfig) -> Engine:
             sel = (d_s == d) & cancelled_s
             cancel_d.append(jnp.any(sel, axis=-1))
             ndur_d.append(jnp.max(jnp.where(sel, pair_min, -INF), axis=-1))
-        cancel_new = _take_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
+        cancel_new = select_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
                                                          fill=False)),
                                cand.aparam) & claim
-        ndur_new = _take_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
+        ndur_new = select_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
                                                        fill=-INF)),
                              cand.aparam)
         a_type = jnp.where(cancel_new, NONE, a_type)
@@ -296,10 +359,10 @@ def make_engine(cfg: EngineConfig) -> Engine:
         eta3 = jnp.where(cancel_new, ndur_new, eta2)
         # cancel-old: a surviving same-tick claim beaten in a chain is
         # rewritten in place to NONE(min) (GameState.java:291-293)
-        cancel_old = _take_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
+        cancel_old = select_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
                                                          fill=False)),
                                state.aparam) & st_exist
-        ndur_old = _take_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
+        ndur_old = select_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
                                                        fill=-INF)),
                              state.aparam)
 
@@ -344,18 +407,19 @@ def make_engine(cfg: EngineConfig) -> Engine:
                 arr_order, jnp.where(push(mvp, d, fill=False),
                                      push(state.aorder, d), INF))
 
-        # ---- attacks: order-filtered damage sums via one stacked scatter
+        # ---- attacks: order-filtered damage sums, delivered densely by
+        # scanning the static (2R+1)^2 offset box with shifts (scatter-adds
+        # serialize on TPU; each (target, offset) pair has at most one
+        # attacker, so shift-accumulate is exact)
         dmin, dmax = tprop(MIN_D, t), tprop(MAX_D, t)
         u01 = jax.random.uniform(sub, (H, W))
         dmg = jnp.where(dmax > dmin,
                         dmin + (u01 * (dmax - dmin + 1)).astype(jnp.int32),
                         dmin)
-        tix = (jnp.clip(state.aty, 0, H - 1) * W
-               + jnp.clip(state.atx, 0, W - 1)).reshape(-1)
-        ca_f = ca.reshape(-1)
-        o_f = state.aorder.reshape(-1)
-        dep_at_t = dep_order.reshape(-1)[tix]
-        arr_at_t = arr_order.reshape(-1)[tix]
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        dxp = state.atx - xs
+        dyp = state.aty - ys
         # return-order query planes: Q_d[c] = order of a completing RETURN
         # approaching c from direction d (at most one per (c, d))
         q_d = []
@@ -363,18 +427,23 @@ def make_engine(cfg: EngineConfig) -> Engine:
             r_d = cr & (state.aparam == d)
             q_d.append(jnp.where(push(r_d, d, fill=False),
                                  push(state.aorder, d), INF))
-        flags = jnp.stack(
-            [ca_f,
-             ca_f & (o_f < dep_at_t),
-             ca_f & (o_f > arr_at_t)]
-            + [ca_f & (o_f < q.reshape(-1)[tix]) for q in q_d], axis=-1)
-        vals = jnp.where(flags, dmg.reshape(-1)[:, None], 0)
-        sums = jnp.zeros((H * W, 7), jnp.int32).at[
-            jnp.where(ca_f, tix, 0)].add(jnp.where(ca_f[:, None], vals, 0))
-        dmg_total = sums[:, 0].reshape(H, W)
-        dmg_pre_dep = sums[:, 1].reshape(H, W)
-        dmg_post_arr = sums[:, 2].reshape(H, W)
-        dmg_pre_ret = [sums[:, 3 + d].reshape(H, W) for d in range(4)]
+        z = jnp.zeros((H, W), jnp.int32)
+        dmg_total, dmg_pre_dep, dmg_post_arr = z, z, z
+        dmg_pre_ret = [z, z, z, z]
+        for oy in range(-R, R + 1):
+            for ox in range(-R, R + 1):
+                if ox == 0 and oy == 0 or ox * ox + oy * oy > R * R:
+                    continue
+                sel = ca & (dxp == ox) & (dyp == oy)
+                sp = _shift(sel, ox, oy, fill=False)
+                sd = jnp.where(sp, _shift(jnp.where(sel, dmg, 0), ox, oy), 0)
+                so = jnp.where(sp, _shift(state.aorder, ox, oy), INF)
+                dmg_total = dmg_total + sd
+                dmg_pre_dep = dmg_pre_dep + jnp.where(so < dep_order, sd, 0)
+                dmg_post_arr = dmg_post_arr + jnp.where(so > arr_order, sd, 0)
+                for d in range(4):
+                    dmg_pre_ret[d] = dmg_pre_ret[d] + jnp.where(
+                        so < q_d[d], sd, 0)
 
         # ---- harvest: per-node 4-way ordered depletion
         # (UnitAction.java:378-404; each server takes its own harvestAmount,
@@ -390,8 +459,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
         h_ord = jnp.stack(h_ord, -1)
         h_amt = jnp.stack(h_amt, -1)
         h_dir = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
-        ho_s, ha_s, hd_s = jax.lax.sort((h_ord, h_amt, h_dir),
-                                        dimension=-1, num_keys=1)
+        ho_s, ha_s, hd_s = sort4(h_ord, h_amt, h_dir)
         prev = jnp.concatenate(
             [jnp.zeros((H, W, 1), jnp.int32), jnp.cumsum(ha_s, -1)[..., :3]], -1)
         take_s = (ho_s < INF) & (state.carried[..., None] - prev > 0)
@@ -427,7 +495,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
 
         # ---- produce: always funded (see module docstring); pay at
         # completion (UnitAction.java:434-463)
-        pcost = jnp.take(COST, jnp.clip(state.aptype, 0, T - 1))
+        pcost = tprop(COST, jnp.clip(state.aptype, 0, T - 1))
         spend0 = jnp.sum(jnp.where(cp & (state.owner == 0), pcost, 0))
         spend1 = jnp.sum(jnp.where(cp & (state.owner == 1), pcost, 0))
         nb_rank = jnp.cumsum(cp.reshape(-1)).reshape(H, W) - 1
@@ -480,7 +548,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
         for d in range(4):
             pd = cp & (state.aparam == d)
             at_dst = push(pd, d, fill=False)
-            hp_born = push(jnp.take(THP, jnp.clip(state.aptype, 0, T - 1)), d)
+            hp_born = push(tprop(THP, jnp.clip(state.aptype, 0, T - 1)), d)
             hp_nb = hp_born - dmg_post_arr
             alive_dst = at_dst & (hp_nb > 0)
             utype_n = jnp.where(alive_dst, push(state.aptype, d) + 1, utype_n)
@@ -540,8 +608,15 @@ def make_engine(cfg: EngineConfig) -> Engine:
         ret_d = _dir_stack(lambda d: pull(is_stock_n, d, fill=False)
                            & (pull(state.owner, d, fill=-1) == me)) \
             & (can_act & tprop(CAN_HARV, t) & (state.carried > 0))[..., None]
-        afford = COST[None, None, :] <= state.resources[jnp.clip(me, 0, 1)]
-        prod_pair = (PRODUCES[t] & afford
+        bal = jnp.where(me == 1, state.resources[1], state.resources[0])
+        afford = jnp.stack([bal >= COST[j] for j in range(T)])  # [T]
+        prod_row = jnp.stack(
+            [functools.reduce(
+                jnp.logical_or,
+                [t == i for i in range(T) if PRODUCES[i][j]],
+                jnp.zeros(t.shape, bool)) for j in range(T)],
+            axis=-1)  # [H,W,T]: can this cell's type produce type j?
+        prod_pair = (prod_row & afford[None, None, :]
                      & can_act[..., None])[..., None, :] \
             & _dir_stack(lambda d: _free_at(state, d))[..., :, None]  # [H,W,4,T]
         prod_dir = jnp.any(prod_pair, axis=-1)

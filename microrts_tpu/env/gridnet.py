@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine import kernel as K
+from ..engine.kernel import make_lookup, pull, select_dir
 from ..engine.pgs import PhysicalGameState
 from ..engine.types import (ATTACK, HARVEST, INF, MOVE, NONE, PRODUCE, RETURN,
                             Candidates, EngineConfig, State, state_from_pgs)
@@ -119,7 +120,7 @@ class GridnetEnv:
         H, W, T = self.h, self.w, cfg.num_types
         R = cfg.max_range
         D = 2 * R + 1
-        COST = jnp.asarray(cfg.cost, jnp.int32)
+        lk_cost = make_lookup(cfg.cost)
 
         me = jnp.int32(player)
         present = (state.utype > 0) & (state.owner == me) & ~state.busy
@@ -140,40 +141,65 @@ class GridnetEnv:
         rank = (ys * W + xs).astype(jnp.int32)
         cand_ok = present & (at >= 0) & (at < 6)
 
-        # --- claims (MOVE / PRODUCE): target cell + budget bookkeeping
+        # --- claims (MOVE / PRODUCE): Java tracks claimed positions as
+        # FLAT indices pos = (x+dx) + (y+dy)*W (UnitAction.resourceUsage
+        # :246-296) — out-of-bounds moves wrap across rows and still claim.
+        # We replicate exactly with a padded flat buffer of length
+        # H*W + 2*W (slot = pos + W); every direction is then a constant
+        # flat offset, so reads/writes are static slices, not gathers.
         is_claim = cand_ok & ((at == MOVE) | (at == PRODUCE))
         dparam = jnp.clip(aparam, 0, 3)
-        dxs = jnp.asarray((0, 1, 0, -1), jnp.int32)[dparam]
-        dys = jnp.asarray((-1, 0, 1, 0), jnp.int32)[dparam]
-        ttx = jnp.clip(xs + dxs, 0, W - 1)
-        tty = jnp.clip(ys + dys, 0, H - 1)
-        tgt = tty * W + ttx
-        # drop claims on in-flight/previous reservations (base_ru positions)
-        blocked0 = is_claim & claimed0.reshape(-1)[tgt.reshape(-1)].reshape(H, W)
+        OFF = (-W, 1, W, -1)  # up, right, down, left in flat space
+        L = H * W + 2 * W
+        HW = H * W
+        is_claim_f = is_claim.reshape(-1)
+        dparam_f = dparam.reshape(-1)
+        rank_f = rank.reshape(-1)
+
+        def read_slot(buf, d):
+            s = W + OFF[d]
+            return buf[s:s + HW]
+
+        # blocked: own claim slot already reserved (in-flight base_ru)
+        blocked0_f = jnp.zeros(HW, bool)
+        for d in range(4):
+            blocked0_f = blocked0_f | ((dparam_f == d)
+                                       & read_slot(claimed0, d))
+        blocked0 = is_claim & blocked0_f.reshape(H, W)
         is_claim = is_claim & ~blocked0
+        is_claim_f = is_claim.reshape(-1)
 
         is_move = is_claim & (at == MOVE)
         is_prod = is_claim & (at == PRODUCE)
-        pcost = jnp.where(is_prod, jnp.take(COST, aptype), 0)
+        pcost = jnp.where(is_prod, lk_cost(aptype), 0)
 
-        # min move-claim rank per target cell (moves never fail on budget)
-        move_rank_at = jnp.full(H * W, INF, jnp.int32).at[
-            jnp.where(is_move.reshape(-1), tgt.reshape(-1), 0)
-        ].min(jnp.where(is_move.reshape(-1), rank.reshape(-1), INF))
+        # min move-claim rank per claim slot (moves never fail on budget)
+        mrank = jnp.full(L, INF, jnp.int32)
+        for d in range(4):
+            s = W + OFF[d]
+            seg = jnp.where((dparam_f == d) & is_move.reshape(-1),
+                            rank_f, INF)
+            mrank = mrank.at[s:s + HW].min(seg)
 
         # sequential budget scan over produce candidates in rank order
         Kp = self.cfg.max_produce_scan
-        prod_key = jnp.where(is_prod, rank, INF).reshape(-1)
-        order = jnp.argsort(prod_key)[:Kp]
-        balance = jnp.take(state.resources, jnp.clip(me, 0, 1))
+        is_prod_f = is_prod.reshape(-1)
+        prod_key = jnp.where(is_prod_f, rank_f, INF)
+        # lowest-Kp ranks via top_k (full argsort is slower on TPU)
+        _, order = jax.lax.top_k(-prod_key, Kp)
+        balance = jnp.where(me == 1, state.resources[1],
+                            state.resources[0])
+        iflat = jnp.arange(HW, dtype=jnp.int32)
+        slot_f = W + iflat + make_lookup(OFF)(dparam_f)
+        pcost_f = pcost.reshape(-1)
 
         def scan_body(carry, cell):
             spent, claimed_by_prod, kept = carry
             r = prod_key[cell]
             valid = r < INF
-            c = pcost.reshape(-1)[cell]
-            x = tgt.reshape(-1)[cell]
-            pos_ok = (r < move_rank_at[x]) & ~claimed_by_prod[x]
+            c = pcost_f[cell]
+            x = slot_f[cell]
+            pos_ok = (r < mrank[x]) & ~claimed_by_prod[x]
             # ResourceUsage.consistentWith zero-skip (:31-50): the first
             # produce is never budget-dropped when nothing is accumulated
             res_ok = (spent == 0) | (spent + c <= balance)
@@ -186,15 +212,25 @@ class GridnetEnv:
 
         (spent1, claimed_by_prod, prod_kept_f), _ = jax.lax.scan(
             scan_body,
-            (spent0, jnp.zeros(H * W, bool), jnp.zeros(H * W, bool)),
+            (spent0, jnp.zeros(L, bool), jnp.zeros(HW, bool)),
             order)
         prod_kept = prod_kept_f.reshape(H, W) & is_prod
         # produce candidates beyond the scan window are dropped (NONE(1) pad)
-        prod_rank_at = jnp.full(H * W, INF, jnp.int32).at[
-            jnp.where(prod_kept.reshape(-1), tgt.reshape(-1), 0)
-        ].min(jnp.where(prod_kept.reshape(-1), rank.reshape(-1), INF))
-        move_kept = is_move & (rank == move_rank_at[tgt]) \
-            & (rank < prod_rank_at[tgt])
+        prank = jnp.full(L, INF, jnp.int32)
+        for d in range(4):
+            s = W + OFF[d]
+            seg = jnp.where((dparam_f == d) & prod_kept.reshape(-1),
+                            rank_f, INF)
+            prank = prank.at[s:s + HW].min(seg)
+        mrank_own = jnp.zeros(HW, jnp.int32)
+        prank_own = jnp.zeros(HW, jnp.int32)
+        for d in range(4):
+            mrank_own = jnp.where(dparam_f == d, read_slot(mrank, d),
+                                  mrank_own)
+            prank_own = jnp.where(dparam_f == d, read_slot(prank, d),
+                                  prank_own)
+        move_kept = is_move & (rank_f == mrank_own).reshape(H, W) \
+            & (rank_f < prank_own).reshape(H, W)
 
         keep = ((cand_ok & (at != MOVE) & (at != PRODUCE))
                 | move_kept | prod_kept)
@@ -204,30 +240,38 @@ class GridnetEnv:
         aparam_out = jnp.where(keep, aparam, jnp.where(pad, 1, 0))
         rank_out = jnp.where(keep, rank,
                              jnp.where(pad, H * W + rank, INF))
-        kept_claim = (move_kept | prod_kept).reshape(-1)
-        claim_tgts = jnp.where(kept_claim, tgt.reshape(-1), H * W)
-        claimed1 = claimed0 | jnp.zeros(H * W + 1, bool).at[
-            claim_tgts].set(True)[:H * W].reshape(H, W)
+        claimed1 = claimed0
+        for d in range(4):
+            s = W + OFF[d]
+            seg = (dparam_f == d) & (move_kept | prod_kept).reshape(-1)
+            claimed1 = claimed1.at[s:s + HW].max(seg)
 
         cand = Candidates(atype=atype_out, aparam=aparam_out, atx=atx,
                           aty=aty, aptype=aptype, rank=rank_out)
         return cand, claimed1, spent1
 
     def _inflight_claims(self, state: State) -> jax.Array:
-        inflight = state.busy & ((state.atype == MOVE)
-                                 | (state.atype == PRODUCE))
-        resv = jnp.zeros((self.h, self.w), bool)
+        """Flat padded claim buffer [H*W + 2*W] of in-flight MOVE/PRODUCE
+        target positions (Java base_ru positions, wrap semantics included;
+        in-flight targets are always in-bounds since they passed issueSafe)."""
+        H, W = self.h, self.w
+        OFF = (-W, 1, W, -1)
+        inflight = (state.busy & ((state.atype == MOVE)
+                                  | (state.atype == PRODUCE)))
+        buf = jnp.zeros(H * W + 2 * W, bool)
         for d in range(4):
-            resv = resv | K.push(inflight & (state.aparam == d), d, fill=False)
-        return resv
+            s = W + OFF[d]
+            seg = (inflight & (state.aparam == d)).reshape(-1)
+            buf = buf.at[s:s + H * W].max(seg)
+        return buf
 
     def _inflight_spent(self, state: State, player) -> jax.Array:
         COST = jnp.asarray(self.cfg.engine.cost, jnp.int32)
+        lk_cost = make_lookup(self.cfg.engine.cost)
         pc = jnp.where(state.busy & (state.atype == PRODUCE)
                        & (state.owner == player),
-                       jnp.take(COST,
-                                jnp.clip(state.aptype, 0,
-                                         self.cfg.engine.num_types - 1)), 0)
+                       lk_cost(jnp.clip(state.aptype, 0,
+                                        self.cfg.engine.num_types - 1)), 0)
         return jnp.sum(pc)
 
     # ------------------------------------------------------------------
@@ -324,7 +368,8 @@ class GridnetEnv:
                 out.append(eng.gameover(state))
             elif name == "resourcegather":
                 t = jnp.clip(state.utype - 1, 0, T - 1)
-                node = (state.utype > 0) & jnp.take(IS_RES, t)
+                node = (state.utype > 0) & make_lookup(
+                    self.cfg.engine.is_resource, bool)(t)
                 out.append(~jnp.any(node & (state.carried > 0)))
             else:
                 out.append(jnp.asarray(False))
@@ -373,15 +418,26 @@ class GridnetEnv:
             return n.astype(jnp.float32)
         if name == "attack":
             # AttackRewardFunction: +1 per attack aimed at an enemy-occupied
-            # cell, -1 at an own-occupied cell (pre-step board)
+            # cell, -1 at an own-occupied cell (pre-step board).  Target
+            # offsets are bounded by the attack range: dense box scan.
             H, W = self.h, self.w
-            tix = (jnp.clip(cand.aty, 0, H - 1) * W
-                   + jnp.clip(cand.atx, 0, W - 1)).reshape(-1)
-            vo = pre.owner.reshape(-1)[tix].reshape(H, W)
-            vt = pre.utype.reshape(-1)[tix].reshape(H, W)
-            atk = acted & (cand.atype == ATTACK) & (vt > 0)
-            pos = jnp.sum(atk & (vo == 1 - me))
-            neg = jnp.sum(atk & (vo == me))
+            R = self.cfg.engine.max_range
+            xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+            ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+            dxp = cand.atx - xs
+            dyp = cand.aty - ys
+            atk = acted & (cand.atype == ATTACK)
+            pos = jnp.int32(0)
+            neg = jnp.int32(0)
+            for oy in range(-R, R + 1):
+                for ox in range(-R, R + 1):
+                    if ox * ox + oy * oy > R * R:
+                        continue
+                    sel = atk & (dxp == ox) & (dyp == oy)
+                    occ = K._shift(pre.utype > 0, -ox, -oy, fill=False)
+                    own = K._shift(pre.owner, -ox, -oy, fill=-1)
+                    pos = pos + jnp.sum(sel & occ & (own == 1 - me))
+                    neg = neg + jnp.sum(sel & occ & (own == me))
             return (pos - neg).astype(jnp.float32)
         if name in ("closertoenemybase", "closertoenemyunit"):
             return self._closer_reward(name, pre, after, me)

@@ -1,0 +1,294 @@
+"""PPO trainer for the gridnet env: fully on-device rollout + learner.
+
+Replaces the reference's Python<->JVM per-step tensor marshalling
+(SURVEY.md §3.3) with a single jitted program: `lax.scan` rollouts over
+vmapped envs (policy player 0 vs a scripted on-device opponent or frozen
+self), GAE, and minibatched clipped-PPO updates.  Data parallelism: envs
+and minibatches shard over the mesh's "env" axis; gradients are averaged
+with `psum` (via `shard_map`) so the same code runs 1 chip or a pod slice.
+
+Default reward weighting follows the MicroRTS-Py convention:
+(winloss, resourcegather, produceworker, producebuilding, producecombat,
+attack) x (10, 1, 1, 0.2, 4, 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.types import State
+from ..env.gridnet import GridnetEnv
+from ..env.vec import VecGridnetEnv
+from ..models.gridnet_policy import (ActionSpace, GridnetPolicy,
+                                     action_logprob, sample_action)
+
+DEFAULT_REWARD_WEIGHTS = (10.0, 1.0, 1.0, 0.2, 4.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    num_envs: int = 64
+    rollout_len: int = 128
+    max_steps: int = 2000
+    lr: float = 2.5e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    epochs: int = 4
+    minibatches: int = 4
+    max_grad_norm: float = 0.5
+    reward_weights: Tuple[float, ...] = DEFAULT_REWARD_WEIGHTS
+
+
+class TrainState(struct.PyTreeNode):
+    params: dict
+    opt_state: dict
+    env_states: State
+    env_steps: jax.Array
+    key: jax.Array
+    update_count: jax.Array
+
+
+class Transition(NamedTuple):
+    obs: jax.Array       # [N, H, W, C]
+    mask: jax.Array      # [N, H, W, A]
+    action: jax.Array    # [N, H, W, 7]
+    logprob: jax.Array   # [N]
+    value: jax.Array     # [N]
+    reward: jax.Array    # [N]
+    done: jax.Array      # [N]
+
+
+class PPOTrainer:
+    def __init__(self, env: GridnetEnv, cfg: PPOConfig = PPOConfig(),
+                 opponent: Optional[Callable] = None,
+                 mesh: Optional[Mesh] = None):
+        self.env = env
+        self.cfg = cfg
+        self.vec = VecGridnetEnv(env, cfg.num_envs, cfg.max_steps)
+        ecfg = env.cfg.engine
+        self.space = ActionSpace(ecfg.num_types, 2 * ecfg.max_range + 1)
+        self.model = GridnetPolicy(self.space)
+        self.opponent = opponent
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr))
+        self.mesh = mesh
+        nr = env.num_rewards
+        w = np.zeros(nr, np.float32)
+        for i, wv in enumerate(cfg.reward_weights[:nr]):
+            w[i] = wv
+        self.reward_w = jnp.asarray(w)
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array) -> TrainState:
+        k1, k2, k3 = jax.random.split(key, 3)
+        obs = self._obs(self.env.reset(k1))[None]
+        params = self.model.init(k2, obs)
+        env_states, env_steps = self.vec.reset(k3)
+        return TrainState(params=params, opt_state=self.tx.init(params),
+                          env_states=env_states, env_steps=env_steps,
+                          key=key, update_count=jnp.int32(0))
+
+    def _obs(self, state: State) -> jax.Array:
+        return self.env.observation_onehot(state, 0)
+
+    def _mask(self, state: State) -> jax.Array:
+        return self.env.masks(state, 0)[..., 1:].astype(bool)
+
+    def _opp_action(self, state: State, key: jax.Array) -> jax.Array:
+        if self.opponent is None:
+            return jnp.zeros((self.env.h, self.env.w, 7), jnp.int32)
+        return self.opponent(state, 1, key)
+
+    # ------------------------------------------------------------------
+    def _rollout(self, ts: TrainState):
+        cfg = self.cfg
+        env = self.env
+
+        def step(carry, _):
+            states, steps, key = carry
+            key, ks, ko = jax.random.split(key, 3)
+            obs = jax.vmap(self._obs)(states)
+            mask = jax.vmap(self._mask)(states)
+            logits, value = self.model.apply(ts.params, obs)
+            skeys = jax.random.split(ks, cfg.num_envs)
+            action, lp_map, _ = jax.vmap(
+                lambda k, l, m: sample_action(k, l, m, self.space))(
+                    skeys, logits, mask)
+            can_act = mask[..., :6].any(-1)
+            logprob = jnp.sum(jnp.where(can_act, lp_map, 0.0), axis=(-2, -1))
+            okeys = jax.random.split(ko, cfg.num_envs)
+            a1 = jax.vmap(self._opp_action)(states, okeys)
+            nstates, nsteps, _, rewards, _, reset = self.vec.step(
+                states, steps, action, a1)
+            r = jnp.sum(rewards[:, 0, :] * self.reward_w, axis=-1)
+            tr = Transition(obs=obs, mask=mask, action=action,
+                            logprob=logprob, value=value, reward=r,
+                            done=reset)
+            return (nstates, nsteps, key), tr
+
+        (states, steps, key), traj = jax.lax.scan(
+            step, (ts.env_states, ts.env_steps, ts.key), None,
+            length=cfg.rollout_len)
+        last_obs = jax.vmap(self._obs)(states)
+        _, last_value = self.model.apply(ts.params, last_obs)
+        return ts.replace(env_states=states, env_steps=steps, key=key), \
+            traj, last_value
+
+    def _gae(self, traj: Transition, last_value):
+        cfg = self.cfg
+
+        def scan_fn(carry, tr):
+            adv_next, v_next = carry
+            nonterm = 1.0 - tr.done.astype(jnp.float32)
+            delta = tr.reward + cfg.gamma * v_next * nonterm - tr.value
+            adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
+            return (adv, tr.value), adv
+
+        _, advs = jax.lax.scan(scan_fn,
+                               (jnp.zeros_like(last_value), last_value),
+                               traj, reverse=True)
+        return advs, advs + traj.value
+
+    def _loss(self, params, batch: Transition, adv, ret):
+        cfg = self.cfg
+        logits, value = self.model.apply(params, batch.obs)
+        lp_map, ent_map = jax.vmap(
+            lambda l, m, a: action_logprob(l, m, a, self.space))(
+                logits, batch.mask, batch.action)
+        can_act = batch.mask[..., :6].any(-1)
+        logprob = jnp.sum(jnp.where(can_act, lp_map, 0.0), axis=(-2, -1))
+        entropy = jnp.mean(jnp.sum(jnp.where(can_act, ent_map, 0.0),
+                                   axis=(-2, -1)))
+        ratio = jnp.exp(logprob - batch.logprob)
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv_n
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        v_loss = 0.5 * jnp.mean((value - ret) ** 2)
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return loss, dict(pg_loss=pg_loss, v_loss=v_loss, entropy=entropy,
+                          ratio=jnp.mean(ratio))
+
+    # ------------------------------------------------------------------
+    def update(self, ts: TrainState):
+        """One PPO update: rollout + epochs x minibatch SGD.  Jittable."""
+        cfg = self.cfg
+        ts, traj, last_value = self._rollout(ts)
+        adv, ret = self._gae(traj, last_value)
+
+        # flatten [T, N, ...] -> [T*N, ...]
+        flat = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+        adv_f = adv.reshape(-1)
+        ret_f = ret.reshape(-1)
+        B = cfg.rollout_len * cfg.num_envs
+        mb = B // cfg.minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, pk = jax.random.split(key)
+            perm = jax.random.permutation(pk, B)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                take = jax.lax.dynamic_slice_in_dim(perm, idx * mb, mb)
+                bt = jax.tree.map(lambda x: x[take], flat)
+                (loss, aux), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(
+                        params, bt, adv_f[take], ret_f[take])
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), auxs = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(cfg.minibatches))
+            return (params, opt_state, key), auxs
+
+        (params, opt_state, key), auxs = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, ts.key), None,
+            length=cfg.epochs)
+        metrics = jax.tree.map(lambda x: x[-1, -1], auxs)
+        metrics["mean_reward"] = jnp.mean(traj.reward)
+        metrics["episodes"] = jnp.sum(traj.done)
+        return ts.replace(params=params, opt_state=opt_state, key=key,
+                          update_count=ts.update_count + 1), metrics
+
+    # ------------------------------------------------------------------
+    def update_sharded(self, ts: TrainState):
+        """Data-parallel update over the mesh's "env" axis: each device
+        rolls out its env shard and computes grads on its minibatch shard;
+        grads/metrics are psum-averaged over ICI.  Same math as `update`."""
+        from jax.experimental.shard_map import shard_map
+
+        mesh = self.mesh
+        assert mesh is not None, "construct PPOTrainer with a mesh"
+        cfg = self.cfg
+        n_dev = mesh.devices.size
+        assert cfg.num_envs % n_dev == 0
+
+        rep = P()
+        env_ax = P("env")
+        state_spec = jax.tree.map(lambda _: env_ax, ts.env_states)
+
+        def local_update(params, opt_state, env_states, env_steps, key,
+                         update_count):
+            lts = TrainState(params=params, opt_state=opt_state,
+                             env_states=env_states, env_steps=env_steps,
+                             key=jax.random.fold_in(
+                                 key, jax.lax.axis_index("env")),
+                             update_count=update_count)
+            # local rollout on this device's env shard: a shallow clone of
+            # the trainer with the per-device batch size and a psum'd tx
+            sub = PPOTrainer.__new__(PPOTrainer)
+            sub.__dict__.update(self.__dict__)
+            sub.cfg = dataclasses.replace(cfg,
+                                          num_envs=cfg.num_envs // n_dev)
+            sub.vec = VecGridnetEnv(self.env, sub.cfg.num_envs,
+                                    cfg.max_steps)
+            sub.tx = _PsumTx(self.tx)
+            nts, metrics = PPOTrainer.update(sub, lts)
+            metrics = jax.tree.map(
+                lambda x: jax.lax.pmean(x, "env"), metrics)
+            return (nts.params, nts.opt_state, nts.env_states,
+                    nts.env_steps, nts.key, nts.update_count, metrics)
+
+        fn = shard_map(
+            local_update, mesh=mesh,
+            in_specs=(rep, rep, state_spec, env_ax, rep, rep),
+            out_specs=(rep, rep, state_spec, env_ax, rep, rep, rep),
+            check_rep=False)
+        params, opt_state, env_states, env_steps, key, upd, metrics = fn(
+            ts.params, ts.opt_state, ts.env_states, ts.env_steps, ts.key,
+            ts.update_count)
+        return TrainState(params=params, opt_state=opt_state,
+                          env_states=env_states, env_steps=env_steps,
+                          key=key, update_count=upd + 1), metrics
+
+
+class _PsumTx:
+    """Wrap an optax tx so gradients are mean-reduced over the "env" mesh
+    axis before the update — the learner's only collective."""
+
+    def __init__(self, tx):
+        self._tx = tx
+
+    def init(self, params):
+        return self._tx.init(params)
+
+    def update(self, grads, opt_state, params=None):
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "env"), grads)
+        return self._tx.update(grads, opt_state, params)
