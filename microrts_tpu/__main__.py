@@ -1,0 +1,105 @@
+"""CLI game runner: the rts/MicroRTS.java main-entry analog.
+
+    python -m microrts_tpu [--config FILE] [--map PATH] [--ai1 NAME]
+        [--ai2 NAME] [--max_cycles N] [--utt_version V]
+        [--partially_observable] [--render] [--trace OUT.zip] [--cpu]
+
+Runs a STANDALONE game between two named bots (Game.start loop,
+rts/Game.java:115-163), optionally rendering to the terminal and recording
+a Java-readable replay zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="microrts_tpu")
+    p.add_argument("--config", help="GameSettings properties file")
+    p.add_argument("--map", dest="map_location")
+    p.add_argument("--ai1")
+    p.add_argument("--ai2")
+    p.add_argument("--max_cycles", type=int)
+    p.add_argument("--utt_version", type=int)
+    p.add_argument("--conflict_policy", type=int)
+    p.add_argument("--partially_observable", action="store_true",
+                   default=None)
+    p.add_argument("--render", action="store_true")
+    p.add_argument("--trace", help="record replay zip to this path")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        from .utils.platform import force_cpu
+        force_cpu()
+
+    from .config import GameSettings, make_bot
+
+    gs = (GameSettings.load_properties(args.config) if args.config
+          else GameSettings())
+    gs.override_from_args(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .engine.utt import UnitTypeTable
+    from .env.gridnet import GridnetEnv
+
+    map_path = gs.map_location
+    if not map_path.startswith("/"):
+        map_path = f"/root/reference/{map_path}"
+    utt = UnitTypeTable(gs.utt_version, gs.conflict_policy)
+    env = GridnetEnv(map_path, utt, partial_obs=gs.partially_observable)
+    bot1 = make_bot(gs.ai1, env)
+    bot2 = make_bot(gs.ai2, env)
+
+    recorder = None
+    if args.trace:
+        from .interop.serialize import TraceRecorder
+        recorder = TraceRecorder(utt)
+
+    state = env.reset(jax.random.PRNGKey(args.seed))
+    step = jax.jit(lambda s, k: env.step(
+        s, bot1(s, 0, k), bot2(s, 1, jax.random.fold_in(k, 1))))
+
+    @jax.jit
+    def decoded_p0(s, k):
+        c0, _, _ = env.decode(s, bot1(s, 0, k), 0,
+                              env._inflight_claims(s),
+                              env._inflight_spent(s, 0))
+        return c0
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.time()
+    tick = 0
+    done = False
+    while tick < gs.max_cycles and not done:
+        key, sub = jax.random.split(key)
+        if recorder is not None:
+            recorder.record_candidates(state, decoded_p0(state, sub))
+        state, _r, done = step(state, sub)
+        done = bool(done)
+        tick += 1
+        if args.render and (tick % max(1, gs.update_interval) == 0 or done):
+            from .render import render_ansi
+            sys.stdout.write("\x1b[H\x1b[2J" + render_ansi(state, utt) + "\n")
+            sys.stdout.flush()
+
+    winner = int(env.engine.winner(state))
+    dt = time.time() - t0
+    print(f"game over at t={tick}: "
+          + (f"winner = player {winner} ({[gs.ai1, gs.ai2][winner]})"
+             if winner >= 0 else "draw")
+          + f"  [{tick / dt:.0f} ticks/s]")
+    if recorder is not None:
+        recorder.save_zip(args.trace)
+        print(f"replay written to {args.trace}")
+    return winner
+
+
+if __name__ == "__main__":
+    main()

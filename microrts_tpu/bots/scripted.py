@@ -251,3 +251,31 @@ def heavy_rush(env):   # HeavyRush.java
 
 def ranged_rush(env):  # RangedRush.java
     return rush_bot(env, RushSpec("Ranged"))
+
+
+def po_wrap(env: GridnetEnv, bot):
+    """Partial-observability wrapper: the bot sees only its fog-of-war view
+    (ai/abstraction/partialobservability/PO*Rush.java pattern — same policy,
+    applied to the PartiallyObservableGameState)."""
+    from ..engine.fog import po_state
+
+    def wrapped(state: State, player, key):
+        return bot(po_state(state, player, env.cfg.engine), player, key)
+
+    return wrapped
+
+
+def po_worker_rush(env):   # POWorkerRush.java
+    return po_wrap(env, worker_rush(env))
+
+
+def po_light_rush(env):    # POLightRush.java
+    return po_wrap(env, light_rush(env))
+
+
+def po_heavy_rush(env):    # POHeavyRush.java
+    return po_wrap(env, heavy_rush(env))
+
+
+def po_ranged_rush(env):   # PORangedRush.java
+    return po_wrap(env, ranged_rush(env))

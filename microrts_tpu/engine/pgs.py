@@ -139,7 +139,10 @@ class PhysicalGameState:
     def load(cls, path: str, utt: UnitTypeTable) -> "PhysicalGameState":
         return cls.from_xml(ET.parse(path).getroot(), utt)
 
-    def to_xml(self, compress_terrain: bool = False) -> str:
+    def to_xml(self, utt: Optional[UnitTypeTable] = None,
+               compress_terrain: bool = False) -> str:
+        """Wire format of PhysicalGameState.toxml (:700-726); unit types are
+        written by NAME (as in maps/*.xml) when a utt is provided."""
         if compress_terrain:
             terrain_s = compress_terrain_rle(self.terrain)
         else:
@@ -152,8 +155,10 @@ class PhysicalGameState:
         parts.append("  </players>")
         parts.append("  <units>")
         for u in self.units:
+            tname = (utt.unit_types[u.type_id].name if utt is not None
+                     else str(u.type_id))
             parts.append(
-                f'    <rts.units.Unit type="{u.type_id}" ID="{u.ID}" '
+                f'    <rts.units.Unit type="{tname}" ID="{u.ID}" '
                 f'player="{u.player}" x="{u.x}" y="{u.y}" '
                 f'resources="{u.resources}" hitpoints="{u.hitpoints}" >')
             parts.append("    </rts.units.Unit>")

@@ -68,7 +68,8 @@ class GridnetEnv:
 
     def __init__(self, map_path: str, utt: Optional[UnitTypeTable] = None,
                  reward_fns: Sequence[str] = REWARD_NAMES[:6],
-                 max_produce_scan: int = 16):
+                 max_produce_scan: int = 16, partial_obs: bool = False):
+        self.partial_obs = partial_obs
         self.utt = utt if utt is not None else UnitTypeTable(2)
         self.pgs0 = PhysicalGameState.load(map_path, self.utt)
         self.h, self.w = self.pgs0.height, self.pgs0.width
@@ -278,8 +279,37 @@ class GridnetEnv:
     def step(self, state: State, a0: jax.Array, a1: jax.Array):
         """Self-play step (JNIGridnetClientSelfPlay.gameStep :159-190):
         decode p0 -> decode p1 (sees p0's claims) -> one merged issue ->
-        cycle -> rewards.  Returns (state', rewards [2, NR], done)."""
+        cycle -> rewards.  Returns (state', rewards [2, NR], done).
+
+        Under partial observability each player's decode runs against its
+        fog-of-war view (hidden enemy reservations are invisible to the
+        cumulative base_ru, exactly as in the Java client where getAction
+        receives the PartiallyObservableGameState); issue/cycle use the
+        full state."""
         pre = state
+        if self.partial_obs:
+            # Java flow: decode p0 against its fog view, issue, then decode
+            # p1 against ITS fog view of the post-issue state (visible p0
+            # same-tick claims included via the in-flight scan; the engine's
+            # atime plane makes sequential same-tick issues exact), issue,
+            # cycle.  Hidden enemy reservations can thus conflict at issue
+            # and cancel cross-cycle, as in the reference.
+            from ..engine.fog import po_state
+            view0 = po_state(state, 0, self.cfg.engine)
+            c0, _, _ = self.decode(state, a0, 0,
+                                   self._inflight_claims(view0),
+                                   self._inflight_spent(state, 0))
+            state1 = self.engine.issue(state, c0)
+            view1 = po_state(state1, 1, self.cfg.engine)
+            c1, _, _ = self.decode(state1, a1, 1,
+                                   self._inflight_claims(view1),
+                                   self._inflight_spent(state1, 1))
+            state2 = self.engine.issue(state1, c1)
+            state2, done = self.engine.cycle(state2)
+            r0 = self._rewards(pre, c0, 0, state2)
+            r1 = self._rewards(pre, c1, 1, state2)
+            return state2, jnp.stack([r0, r1]), done
+
         claimed = self._inflight_claims(state)
         c0, claimed, _ = self.decode(state, a0, 0, claimed,
                                      self._inflight_spent(state, 0))
@@ -319,7 +349,12 @@ class GridnetEnv:
 
     def observation(self, state: State, player) -> jax.Array:
         """GameState.getVectorObservation (:922-968): int32 [6, H, W] planes
-        hp, carried, owner-relative, type+1, current-action-type, walls."""
+        hp, carried, owner-relative, type+1, current-action-type, walls.
+        Under partial_obs: the 8-plane PO observation
+        (PartiallyObservableGameState :82-154)."""
+        if self.partial_obs:
+            from ..engine.fog import observation_po
+            return observation_po(state, player, self.cfg.engine)
         exists = state.utype > 0
         me = jnp.int32(player)
         ownerp = jnp.where(exists & (state.owner >= 0),
