@@ -1,0 +1,133 @@
+"""Playout search bots: the game-tree-search family, TPU style.
+
+The reference's search zoo (ai/montecarlo/MonteCarlo, ai/mcts/naivemcts —
+SURVEY.md §2.4) clones the GameState and rolls sequential playouts on the
+host.  Here "clone" is free (pure functional state) and playouts batch:
+one decision = K candidate joint actions x one L-tick RandomBiased playout
+each, evaluated with an ai/evaluation scoring function, all inside one jit
+and vmappable over envs.
+
+``monte_carlo_bot``   — flat MC (MonteCarlo.java): uniform candidates.
+``naive_sampling_bot`` — NaiveMCTS-flavored (NaiveMCTS.java:25-145):
+    candidates mix per-unit greedy exploitation of the running per-unit
+    action statistics with exploration (the CMAB naive-sampling idea,
+    epsilon_0/epsilon_l collapsed to one epsilon over sampled rounds).
+Budgets: the Java bots take time/iteration budgets
+(AIWithComputationBudget); here the budget is the static (K, L) pair.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.types import State
+from ..env.gridnet import GridnetEnv
+from ..ops.evaluation import simple_sqrt_eval3
+from .scripted import random_bot
+
+
+def monte_carlo_bot(env: GridnetEnv, n_candidates: int = 12,
+                    playout_len: int = 48,
+                    eval_fn: Optional[Callable] = None,
+                    candidate_bias: float = 5.0):
+    """Flat Monte Carlo: sample K candidate actions, play each out with
+    RandomBiasedAI on both sides for L ticks (MonteCarlo.java semantics:
+    playout then evaluate), pick the argmax candidate."""
+    ecfg = env.cfg.engine
+    if eval_fn is None:
+        eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
+    sampler = random_bot(env, candidate_bias)
+    rollout_policy = random_bot(env, 5.0)
+
+    def playout_value(state, cand_action, player, key):
+        k0, key = jax.random.split(key)
+        opp = rollout_policy(state, 1 - player, k0)
+        s, _, _ = env.step(state,
+                           jnp.where(jnp.int32(player) == 0, cand_action, opp),
+                           jnp.where(jnp.int32(player) == 0, opp, cand_action))
+
+        def body(carry, _):
+            s, k = carry
+            k, k1, k2 = jax.random.split(k, 3)
+            s, _, _ = env.step(s, rollout_policy(s, 0, k1),
+                               rollout_policy(s, 1, k2))
+            return (s, k), None
+
+        (s, _), _ = jax.lax.scan(body, (s, key), None, length=playout_len)
+        return eval_fn(s, player)
+
+    def bot(state: State, player, key):
+        keys = jax.random.split(key, n_candidates + 1)
+        cands = jax.vmap(lambda k: sampler(state, player, k))(
+            keys[:n_candidates])
+        values = jax.vmap(
+            lambda c, k: playout_value(state, c, player, k))(
+                cands, jax.random.split(keys[-1], n_candidates))
+        best = jnp.argmax(values)
+        return cands[best]
+
+    return bot
+
+
+def naive_sampling_bot(env: GridnetEnv, n_rounds: int = 16,
+                       playout_len: int = 48, epsilon: float = 0.33,
+                       eval_fn: Optional[Callable] = None):
+    """NaiveMCTS-flavored CMAB search: per-unit (per-cell) action statistics
+    accumulate over rounds; each round's candidate mixes, per cell, the
+    best-so-far component action (exploit) with a fresh random one
+    (explore, prob. epsilon) — the naive-sampling local/global policy of
+    NaiveMCTSNode collapsed to one epsilon.  Returns the per-cell argmax
+    action after the budget."""
+    ecfg = env.cfg.engine
+    H, W = env.h, env.w
+    if eval_fn is None:
+        eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
+    sampler = random_bot(env, 5.0)
+    rollout_policy = random_bot(env, 5.0)
+
+    def playout_value(state, cand_action, player, key):
+        k0, key = jax.random.split(key)
+        opp = rollout_policy(state, 1 - player, k0)
+        s, _, _ = env.step(state,
+                           jnp.where(jnp.int32(player) == 0, cand_action, opp),
+                           jnp.where(jnp.int32(player) == 0, opp, cand_action))
+
+        def body(carry, _):
+            s, k = carry
+            k, k1, k2 = jax.random.split(k, 3)
+            s, _, _ = env.step(s, rollout_policy(s, 0, k1),
+                               rollout_policy(s, 1, k2))
+            return (s, k), None
+
+        (s, _), _ = jax.lax.scan(body, (s, key), None, length=playout_len)
+        return eval_fn(s, player)
+
+    def bot(state: State, player, key):
+        def round_body(carry, k):
+            best_a, best_v, sum_v, n_v = carry
+            k1, k2, k3 = jax.random.split(k, 3)
+            fresh = sampler(state, player, k1)
+            explore = jax.random.uniform(k2, (H, W, 1)) < epsilon
+            has_best = (n_v > 0)[..., None]
+            cand = jnp.where(explore | ~has_best, fresh, best_a)
+            v = playout_value(state, cand, player, k3)
+            # per-cell credit: a cell's tried action gets the global value
+            # (the CMAB "naive" decomposition: joint reward credited to
+            # each arm, NaiveMCTSNode UnitActionTableEntry pattern)
+            improve = jnp.broadcast_to(v > best_v, (H, W))
+            best_a = jnp.where(improve[..., None], cand, best_a)
+            best_v = jnp.where(improve, v, best_v)
+            return (best_a, best_v, sum_v + v, n_v + 1), v
+
+        init = (jnp.zeros((H, W, 7), jnp.int32),
+                jnp.full((H, W), -jnp.inf),
+                jnp.zeros((H, W)), jnp.zeros((H, W), jnp.int32))
+        (best_a, _, _, _), _ = jax.lax.scan(
+            round_body, init, jax.random.split(key, n_rounds))
+        return best_a
+
+    return bot
