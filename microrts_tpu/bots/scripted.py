@@ -279,3 +279,25 @@ def po_heavy_rush(env):    # POHeavyRush.java
 
 def po_ranged_rush(env):   # PORangedRush.java
     return po_wrap(env, ranged_rush(env))
+
+
+def distribution_bot(env: GridnetEnv, type_weights):
+    """UnitActionProbabilityDistributionAI (ai/stochastic/*): per-unit
+    actions sampled with a learned/fixed weight per action TYPE (uniform
+    over legal params within the type).  ``type_weights``: positive [6]
+    (NONE, MOVE, HARVEST, RETURN, PRODUCE, ATTACK)."""
+    inner = random_bot(env, 1.0)
+
+    def bot(state: State, player, key):
+        m = env.engine.legal_masks(state, player)
+        w = jnp.asarray(type_weights, jnp.float32)
+        tw = jnp.where(m["type"].astype(bool), w, 0.0)
+        tw = jnp.where(tw.sum(-1, keepdims=True) > 0, tw,
+                       jnp.ones_like(tw))
+        k1, k2 = jax.random.split(key)
+        at = jax.random.categorical(k1, jnp.log(tw + 1e-9), axis=-1)
+        base = inner(state, player, k2)
+        out = base.at[..., 0].set(jnp.where(m["can_act"], at, 0))
+        return out
+
+    return bot

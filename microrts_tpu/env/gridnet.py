@@ -88,6 +88,33 @@ class GridnetEnv:
             heavy_id=tid("Heavy"), ranged_id=tid("Ranged"))
         self._init_state = state_from_pgs(self.pgs0.clone(), ecfg)
 
+    @classmethod
+    def from_dims(cls, utt: UnitTypeTable, h: int, w: int,
+                  **kwargs) -> "GridnetEnv":
+        """Mapless env over given dimensions (for serving remote games
+        whose map lives on the other side of the socket)."""
+        self = cls.__new__(cls)
+        self.partial_obs = kwargs.get("partial_obs", False)
+        self.utt = utt
+        self.pgs0 = PhysicalGameState(w, h)
+        self.pgs0.players = []
+        self.h, self.w = h, w
+        ecfg = EngineConfig.from_utt(utt, h, w)
+        self.engine = K.make_engine(ecfg)
+
+        def tid(name):
+            ut = utt.get_unit_type(name)
+            return ut.ID if ut is not None else -1
+
+        self.cfg = EnvConfig(
+            engine=ecfg,
+            reward_fns=tuple(kwargs.get("reward_fns", REWARD_NAMES[:6])),
+            worker_id=tid("Worker"), base_id=tid("Base"),
+            barracks_id=tid("Barracks"), light_id=tid("Light"),
+            heavy_id=tid("Heavy"), ranged_id=tid("Ranged"))
+        self._init_state = state_from_pgs(self.pgs0, ecfg)
+        return self
+
     @property
     def num_rewards(self) -> int:
         return len(self.cfg.reward_fns)

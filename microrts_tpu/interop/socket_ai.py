@@ -1,0 +1,199 @@
+"""SocketAI protocol: serve our bots/policies to Java microRTS over TCP.
+
+Implements the AI-server side of the reference's remote-agent protocol
+(ai/socket/SocketAI.java:114-176): a Java `SocketAI` bot connects, sends
+``budget t i`` / ``utt`` / per-move ``getAction <player>`` + a GameState
+(JSON or XML), and expects one line with a PlayerAction.  This is the
+cross-play bridge: the Java engine hosts the game; the TPU side answers
+moves — and doubles as the JSON/XML GameState parser for any client of the
+wire format.
+"""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import threading
+import xml.etree.ElementTree as ET
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from .. import refimpl
+from ..engine.pgs import HostPlayer, HostUnit, PhysicalGameState
+from ..engine.types import EngineConfig, State
+from ..engine.utt import UnitTypeTable
+from .serialize import state_from_xml
+
+
+def pgs_from_json(o: dict, utt: UnitTypeTable,
+                  fallback_dims: Optional[Tuple[int, int]] = None
+                  ) -> PhysicalGameState:
+    """PhysicalGameState.toJSON wire format (:654-695)."""
+    from ..engine.pgs import terrain_from_string
+
+    w = o.get("width")
+    h = o.get("height")
+    if w is None:
+        w, h = fallback_dims
+    terrain = (terrain_from_string(o["terrain"], w * h)
+               if "terrain" in o else np.zeros(w * h, np.int8))
+    pgs = PhysicalGameState(w, h, terrain)
+    for p in o.get("players", []):
+        pgs.players.append(HostPlayer(ID=p["ID"], resources=p["resources"]))
+    for u in o.get("units", []):
+        ut = utt.get_unit_type(u["type"])
+        pgs.units.append(HostUnit(
+            ID=u["ID"], player=u["player"], type_id=ut.ID, x=u["x"],
+            y=u["y"], resources=u.get("resources", 0),
+            hitpoints=u.get("hitpoints", ut.hp)))
+    return pgs
+
+
+def state_from_json(text: str, utt: UnitTypeTable,
+                    cfg: Optional[EngineConfig] = None,
+                    fallback_dims=None) -> State:
+    """GameState.toJSON wire format (:809-842) -> device State."""
+    import jax.numpy as jnp
+    from ..engine.types import state_from_pgs
+
+    o = json.loads(text)
+    pgs = pgs_from_json(o["pgs"], utt, fallback_dims)
+    if cfg is None:
+        cfg = EngineConfig.from_utt(utt, pgs.height, pgs.width)
+    state = state_from_pgs(pgs, cfg, time=o.get("time", 0))
+    busy = np.zeros((pgs.height, pgs.width), bool)
+    planes = {k: np.zeros((pgs.height, pgs.width), np.int32)
+              for k in ("atype", "aparam", "atx", "aty", "aptype", "aticks",
+                        "aorder")}
+    atime = np.zeros((pgs.height, pgs.width), np.int32) - 1
+    for i, a in enumerate(o.get("actions", [])):
+        u = pgs.get_unit(a["ID"])
+        if u is None:
+            continue
+        ua_o = a.get("action", a.get("unitAction", {}))
+        ua = refimpl.UnitAction(ua_o.get("type", 0))
+        ua.parameter = ua_o.get("parameter", -1)
+        ua.x = ua_o.get("x", 0)
+        ua.y = ua_o.get("y", 0)
+        if "unitType" in ua_o:
+            ua.unit_type = utt.get_unit_type(ua_o["unitType"]).ID
+        issue_time = a.get("time", o.get("time", 0))
+        busy[u.y, u.x] = True
+        planes["atype"][u.y, u.x] = ua.type
+        planes["aparam"][u.y, u.x] = ua.parameter
+        planes["atx"][u.y, u.x] = ua.x
+        planes["aty"][u.y, u.x] = ua.y
+        planes["aptype"][u.y, u.x] = ua.unit_type or 0
+        planes["aticks"][u.y, u.x] = (issue_time
+                                      + refimpl.eta(ua, u, utt)
+                                      - o.get("time", 0))
+        planes["aorder"][u.y, u.x] = i
+        atime[u.y, u.x] = issue_time
+    return state.replace(
+        busy=jnp.asarray(busy), atime=jnp.asarray(atime),
+        **{k: jnp.asarray(v) for k, v in planes.items()})
+
+
+def action_to_json(uid: int, a: dict, utt: UnitTypeTable) -> dict:
+    t = a["type"]
+    ua = {"type": t}
+    if t == refimpl.TYPE_ATTACK_LOCATION:
+        ua["x"] = a["x"]
+        ua["y"] = a["y"]
+    else:
+        if a["parameter"] != refimpl.DIRECTION_NONE:
+            ua["parameter"] = a["parameter"]
+        if t == refimpl.TYPE_PRODUCE:
+            ua["unitType"] = utt.unit_types[a["unit_type"]].name
+    return {"unitID": uid, "unitAction": ua}
+
+
+class AIServer:
+    """Serves ``bot_factory(env)``-style agents over the SocketAI line
+    protocol (JSON serialization, the reference default for RL use)."""
+
+    def __init__(self, make_bot: Callable, host: str = "127.0.0.1",
+                 port: int = 9898):
+        self.make_bot = make_bot
+        self.host = host
+        self.port = port
+        self._server = None
+
+    def serve_forever(self):
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                try:
+                    self._handle()
+                except Exception:
+                    import traceback
+                    traceback.print_exc()
+                    raise
+
+            def _handle(self):
+                import jax
+
+                self.wfile.write(b"microrts_tpu AI server ready\n")
+                self.wfile.flush()
+                utt = None
+                bot = None
+                env = None
+                key = jax.random.PRNGKey(0)
+                while True:
+                    line = self.rfile.readline()
+                    if not line:
+                        return
+                    line = line.decode().strip()
+                    if line.startswith("budget"):
+                        self.wfile.write(b"ack\n")
+                    elif line == "utt":
+                        utt_line = self.rfile.readline().decode().strip()
+                        utt = UnitTypeTable.from_json(utt_line)
+                        self.wfile.write(b"ack\n")
+                    elif line.startswith("getAction"):
+                        player = int(line.split()[1])
+                        gs_line = self.rfile.readline().decode().strip()
+                        state = state_from_json(gs_line, utt)
+                        if bot is None:
+                            h, w = state.utype.shape
+                            env, bot = outer.make_bot(utt, h, w)
+                        key, sub = jax.random.split(key)
+                        a = bot(state, player, sub)
+                        cand, _, _ = env.decode(
+                            state, a, player, env._inflight_claims(state),
+                            env._inflight_spent(state, player))
+                        from .serialize import TraceRecorder
+                        rec = TraceRecorder(utt)
+                        rec.record_candidates(state, cand)
+                        _, _, acts = rec.entries[0]
+                        reply = json.dumps(
+                            [action_to_json(uid, ad, utt)
+                             for uid, ad in acts
+                             if ad["type"] != 0]).encode()
+                        self.wfile.write(reply + b"\n")
+                    elif line in ("gameOver", "exit", "close"):
+                        self.wfile.write(b"ack\n")
+                        return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((self.host, self.port), Handler)
+        self._server.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        import time
+        for _ in range(100):
+            if self._server is not None:
+                break
+            time.sleep(0.05)
+        return t
+
+    def shutdown(self):
+        if self._server is not None:
+            self._server.shutdown()

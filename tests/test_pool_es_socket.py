@@ -1,0 +1,114 @@
+"""Map pools, evolution strategies, SSVD codec, socket AI server, checkpoints."""
+
+import json
+import socket
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microrts_tpu.engine.pgs import PhysicalGameState
+from microrts_tpu.engine.utt import UnitTypeTable
+from microrts_tpu.env.gridnet import GridnetEnv
+from microrts_tpu.env.pool import MapPoolVecEnv
+from microrts_tpu.models.ssvd import decode, genome_size, make_learned_eval
+from microrts_tpu.train.es import ESConfig, evolve
+from microrts_tpu.utils.checkpoint import load_pytree, save_pytree
+
+MAPS = "/root/reference/maps"
+
+
+def test_map_pool_preserves_maps_through_reset():
+    pool = MapPoolVecEnv(
+        [f"{MAPS}/8x8/basesWorkers8x8.xml", f"{MAPS}/NoWhereToRun9x8.xml",
+         f"{MAPS}/8x8/FourBasesWorkers8x8.xml"],
+        num_envs=6, max_steps=30)
+    states, steps = pool.reset(jax.random.PRNGKey(0))
+    counts0 = [(np.asarray(states.utype)[i] > 0).sum() for i in range(3)]
+    a = jnp.zeros((6, pool.h, pool.w, 7), jnp.int32)
+    step = jax.jit(pool.step)
+    for _ in range(40):  # crosses the max_steps auto-reset
+        states, steps, *_ = step(states, steps, a, a)
+    counts1 = [(np.asarray(states.utype)[i] > 0).sum() for i in range(3)]
+    assert counts0 == counts1          # each env reset to its own map
+    assert len(set(counts0)) == 3      # three genuinely different maps
+    # padding: env from the 8x8 map has a wall column at x=8
+    assert (np.asarray(states.terrain)[0][:, 8] == 1).all()
+
+
+def test_es_converges_on_offset_sphere():
+    def f(pop, key):
+        return -jnp.sum((pop - 3.0) ** 2, -1)
+    theta, hist = evolve(f, dim=8, generations=120,
+                         key=jax.random.PRNGKey(0),
+                         cfg=ESConfig(pop_size=24, sigma=0.1, lr=0.3,
+                                      weight_decay=0.0))
+    assert hist[-1] > -2.0
+    assert abs(float(theta.mean()) - 3.0) < 0.3
+
+
+def test_ssvd_codec():
+    dims = (32, 16, 1)
+    n = genome_size(dims, rank=4)
+    g = jax.random.normal(jax.random.PRNGKey(0), (n,))
+    layers = decode(g, dims, 4)
+    assert layers[0][0].shape == (32, 16) and layers[1][0].shape == (16, 1)
+    # low rank: W0 has rank <= 4
+    assert np.linalg.matrix_rank(np.asarray(layers[0][0]), tol=1e-4) <= 4
+    env = GridnetEnv(f"{MAPS}/8x8/basesWorkers8x8.xml")
+    eval_fn, gsize = make_learned_eval(env, None, hidden=8, rank=2)
+    g2 = jax.random.normal(jax.random.PRNGKey(1), (gsize,))
+    eval_fn, _ = make_learned_eval(env, g2, hidden=8, rank=2)
+    s = env.reset(jax.random.PRNGKey(0))
+    v = float(eval_fn(s, 0))
+    assert -1.0 <= v <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(5), "b": {"c": jnp.ones((2, 3))}}
+    p = str(tmp_path / "ck.npz")
+    save_pytree(p, tree)
+    out = load_pytree(p, tree)
+    assert (out["a"] == tree["a"]).all()
+    assert (out["b"]["c"] == tree["b"]["c"]).all()
+
+
+def test_socket_ai_server():
+    from microrts_tpu.bots.scripted import worker_rush
+    from microrts_tpu.interop.socket_ai import AIServer
+
+    def make_bot(utt, h, w):
+        env = GridnetEnv.from_dims(utt, h, w)
+        return env, worker_rush(env)
+
+    srv = AIServer(make_bot, port=19901)
+    srv.start_background()
+    time.sleep(0.3)
+    utt = UnitTypeTable(2)
+    pgs = PhysicalGameState.load(f"{MAPS}/8x8/basesWorkers8x8.xml", utt)
+    sock = socket.create_connection(("127.0.0.1", 19901), timeout=180)
+    f = sock.makefile("rwb")
+    assert b"ready" in f.readline()
+    f.write(b"budget 100 0\n"); f.flush()
+    assert f.readline().strip() == b"ack"
+    f.write(b"utt\n" + utt.to_json().encode() + b"\n"); f.flush()
+    assert f.readline().strip() == b"ack"
+    terr = "".join(str(int(t)) for t in pgs.terrain)
+    gs_json = json.dumps({
+        "time": 0,
+        "pgs": {"width": 8, "height": 8, "terrain": terr,
+                "players": [{"ID": 0, "resources": 5},
+                            {"ID": 1, "resources": 5}],
+                "units": [{"type": utt.unit_types[u.type_id].name,
+                           "ID": u.ID, "player": u.player, "x": u.x,
+                           "y": u.y, "resources": u.resources,
+                           "hitpoints": u.hitpoints} for u in pgs.units]},
+        "actions": []})
+    f.write(b"getAction 0\n" + gs_json.encode() + b"\n"); f.flush()
+    reply = json.loads(f.readline().decode())
+    assert isinstance(reply, list) and len(reply) >= 1
+    assert {"unitID", "unitAction"} <= set(reply[0])
+    sock.close()
+    srv.shutdown()
