@@ -56,16 +56,20 @@ from .types import (ATTACK, DIR_X, DIR_Y, HARVEST, INF, MOVE, NONE, PRODUCE,
 # shift helpers
 
 def _shift(p: jax.Array, dx: int, dy: int, fill=0) -> jax.Array:
-    """out[y, x] = p[y - dy, x - dx]; cells shifted in from outside = fill."""
+    """out[y, x] = p[y - dy, x - dx]; cells shifted in from outside = fill.
+    Implemented as pad+slice (lowers inside Pallas kernels, unlike sliced
+    scatter-set); i1 arrays route through int32 (Mosaic cannot pad or
+    constant-materialize i1 vectors)."""
     if dx == 0 and dy == 0:
         return p
+    if p.dtype == jnp.bool_:
+        return _shift(jnp.where(p, 1, 0), dx, dy, 1 if fill else 0) != 0
     h, w = p.shape[-2], p.shape[-1]
-    out = jnp.full_like(p, fill)
-    ys_dst = slice(max(0, dy), h + min(0, dy))
-    xs_dst = slice(max(0, dx), w + min(0, dx))
-    ys_src = slice(max(0, -dy), h + min(0, -dy))
-    xs_src = slice(max(0, -dx), w + min(0, -dx))
-    return out.at[..., ys_dst, xs_dst].set(p[..., ys_src, xs_src])
+    pads = [(0, 0)] * (p.ndim - 2) + [
+        (max(0, dy), max(0, -dy)), (max(0, dx), max(0, -dx))]
+    pp = jnp.pad(p, pads, constant_values=fill)
+    a, b = max(0, -dy), max(0, -dx)
+    return pp[..., a:a + h, b:b + w]
 
 
 def push(p: jax.Array, d: int, fill=0) -> jax.Array:
@@ -103,26 +107,32 @@ def select_dir(stack, param):
     return acc
 
 
+def stack_b(planes):
+    """Stack bool planes as int32 (Mosaic cannot insert a minor dim of i1);
+    read back with `select_dir(...) != 0` / `imax(...) > 0`."""
+    return jnp.stack([jnp.where(p, 1, 0) for p in planes], axis=-1)
+
+
+def sum2(x):
+    """Sum over the two trailing axes, one at a time (fused double-axis
+    reductions crash Mosaic)."""
+    return jnp.sum(jnp.sum(x, -1), -1)
+
+
 def sort4(keys, *payloads):
     """Sort 4 elements along the last axis by ``keys`` with an explicit
     5-comparator network (generic lax.sort lowers poorly on TPU for tiny
     fixed widths).  Returns (keys_sorted, *payloads_sorted)."""
-    arrs = (keys,) + payloads
-
-    def cswap(arrs, i, j):
-        swap = arrs[0][..., i] > arrs[0][..., j]
-
-        def sw(a):
-            ai, aj = a[..., i], a[..., j]
-            a = a.at[..., i].set(jnp.where(swap, aj, ai))
-            a = a.at[..., j].set(jnp.where(swap, ai, aj))
-            return a
-
-        return tuple(sw(a) for a in arrs)
+    # column-decomposed (stack, not scatter-set: lowers inside Pallas)
+    cols = [[a[..., k] for k in range(4)] for a in (keys,) + payloads]
 
     for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-        arrs = cswap(arrs, i, j)
-    return arrs
+        swap = cols[0][i] > cols[0][j]
+        for c in cols:
+            ci, cj = c[i], c[j]
+            c[i] = jnp.where(swap, cj, ci)
+            c[j] = jnp.where(swap, ci, cj)
+    return tuple(jnp.stack(c, axis=-1) for c in cols)
 
 
 # ----------------------------------------------------------------------
@@ -164,13 +174,21 @@ def make_engine(cfg: EngineConfig) -> Engine:
     PRODUCES = cfg.produces  # [T][T] static bools
 
     def tprop(vals, t):
-        "Unrolled static-table lookup (gathers are slow on TPU)."
-        is_bool = isinstance(vals[0], bool)
-        dt = bool if is_bool else jnp.int32
-        acc = jnp.full(t.shape, vals[0], dt)
+        """Unrolled static-table lookup (gathers are slow on TPU).  Bool
+        seeds come from traced comparisons: Mosaic cannot materialize i1
+        vector constants."""
+        if isinstance(vals[0], bool):
+            # pure logical updates: a select RETURNING i1 materializes as
+            # i8 in Mosaic and dies on the i8->i1 truncation
+            acc = (t > -1) if vals[0] else (t < -1)
+            for i in range(1, len(vals)):
+                if vals[i] != vals[0]:
+                    acc = (acc & (t != i)) if vals[0] else (acc | (t == i))
+            return acc
+        acc = jnp.full(t.shape, vals[0], jnp.int32)
         for i in range(1, len(vals)):
             if vals[i] != vals[0]:
-                acc = jnp.where(t == i, dt(vals[i]), acc)
+                acc = jnp.where(t == i, jnp.int32(vals[i]), acc)
         return acc
 
     def _unit_ctx(state: State):
@@ -199,31 +217,33 @@ def make_engine(cfg: EngineConfig) -> Engine:
         is_res_n = exists & tprop(IS_RES, t)
         is_stock_n = exists & tprop(IS_STOCK, t)
 
-        free_d = _dir_stack(lambda d: _free_at(state, d))
-        res_d = _dir_stack(lambda d: pull(is_res_n, d, fill=False))
-        own_stock_d = _dir_stack(
-            lambda d: pull(is_stock_n, d, fill=False)
-            & (pull(state.owner, d, fill=-1) == me))
+        free_d = stack_b([_free_at(state, d) for d in range(4)])
+        res_d = stack_b([pull(is_res_n, d, fill=False) for d in range(4)])
+        own_stock_d = stack_b(
+            [pull(is_stock_n, d, fill=False)
+             & (pull(state.owner, d, fill=-1) == me) for d in range(4)])
 
         at = cand.atype
         param = cand.aparam
         pt = jnp.clip(cand.aptype, 0, T - 1)
 
         legal_none = at == NONE
-        legal_move = (at == MOVE) & tprop(CAN_MOVE, t) & select_dir(free_d, param)
+        legal_move = ((at == MOVE) & tprop(CAN_MOVE, t)
+                      & (select_dir(free_d, param) != 0))
         legal_harv = ((at == HARVEST) & tprop(CAN_HARV, t)
-                      & (state.carried == 0) & select_dir(res_d, param))
+                      & (state.carried == 0) & (select_dir(res_d, param) != 0))
         legal_ret = ((at == RETURN) & tprop(CAN_HARV, t)
-                     & (state.carried > 0) & select_dir(own_stock_d, param))
+                     & (state.carried > 0)
+                     & (select_dir(own_stock_d, param) != 0))
         afford = tprop(COST, pt) <= jnp.where(
             me == 1, state.resources[1], state.resources[0])
-        producible = jnp.zeros(t.shape, bool)
+        producible = t < -1  # all-False, traced (no i1 consts)
         for i, row in enumerate(PRODUCES):
             for j, v in enumerate(row):
                 if v:
                     producible = producible | ((t == i) & (pt == j))
         legal_prod = ((at == PRODUCE) & producible & afford
-                      & select_dir(free_d, param))
+                      & (select_dir(free_d, param) != 0))
         # attack: enemy unit at absolute (atx, aty) within squared range
         # (Unit.java:409-436; range-1 4-adjacency == d2 <= 1 for distinct
         # cells).  The target offset is scanned over the static (2R+1)^2
@@ -234,7 +254,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
         dyp = cand.aty - ys
         rng2 = tprop(RANGE, t) ** 2
         occ = state.utype > 0
-        hit = jnp.zeros((H, W), bool)
+        hit = t < -1
         for oy in range(-R, R + 1):
             for ox in range(-R, R + 1):
                 d2 = ox * ox + oy * oy
@@ -289,15 +309,17 @@ def make_engine(cfg: EngineConfig) -> Engine:
                                  | (state.atype == PRODUCE))
         prior = state.atime < state.time
         inflight = claiming & prior
-        resv = jnp.zeros((H, W), bool)
+        resv = state.utype < -1
         for d in range(4):
             resv = resv | push(inflight & (state.aparam == d), d, fill=False)
-        tgt_resv = select_dir(_dir_stack(lambda d: pull(resv, d, fill=False)),
-                             cand.aparam)
+        tgt_resv = select_dir(
+            stack_b([pull(resv, d, fill=False) for d in range(4)]),
+            cand.aparam) != 0
         if_pcost = jnp.where(state.busy & prior & (state.atype == PRODUCE),
                              tprop(COST, jnp.clip(state.aptype, 0, T - 1)), 0)
-        max_if = jnp.stack([jnp.max(jnp.where(state.owner == p, if_pcost, 0))
-                            for p in (0, 1)])
+        max_if = jnp.stack([jnp.max(jnp.max(
+            jnp.where(state.owner == p, if_pcost, 0), -1), -1)
+            for p in (0, 1)])
         my_bal = jnp.where(state.owner == 1, state.resources[1], state.resources[0])
         my_max_if = jnp.where(state.owner == 1, max_if[1], max_if[0])
         new_cost = tprop(COST, jnp.clip(cand.aptype, 0, T - 1))
@@ -315,7 +337,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
         # issue order so Java's sequential pairwise scan is reproduced)
         st_exist = claiming & ~prior
         new_key = state.order_ctr + cand.rank
-        cl, rk, et = [], [], []
+        rk, et = [], []
         for d in range(4):
             n_d = claim & (cand.aparam == d)
             e_d = st_exist & (state.aparam == d)
@@ -323,16 +345,15 @@ def make_engine(cfg: EngineConfig) -> Engine:
             key_src = jnp.where(n_d, new_key,
                                 jnp.where(e_d, state.aorder, INF))
             eta_src = jnp.where(n_d, eta2, jnp.where(e_d, state.aticks, 0))
-            cl.append(c_d)
             rk.append(jnp.where(c_d, push(key_src, d), INF))
             et.append(jnp.where(c_d, push(eta_src, d), 0))
         rk = jnp.stack(rk, -1)
         et = jnp.stack(et, -1)
-        srcd = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
+        srcd = jax.lax.broadcasted_iota(jnp.int32, (H, W, 4), 2)
         rk_s, et_s, d_s = sort4(rk, et, srcd)
         valid_s = rk_s < INF
-        m = jnp.sum(valid_s, axis=-1)  # claimant count per cell
-        k_idx = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
+        m = jnp.sum(jnp.where(valid_s, 1, 0), axis=-1)  # claimants per cell
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W, 4), 2)
         survivor = (k_idx == m[..., None] - 1) & ((m[..., None] % 2) == 1)
         cancelled_s = valid_s & ~survivor
         # pair-min NONE durations: pairs are (0,1), (2,3) in sorted order
@@ -346,25 +367,25 @@ def make_engine(cfg: EngineConfig) -> Engine:
         ndur_d = []
         for d in range(4):
             sel = (d_s == d) & cancelled_s
-            cancel_d.append(jnp.any(sel, axis=-1))
+            cancel_d.append(jnp.max(jnp.where(sel, 1, 0), axis=-1) > 0)
             ndur_d.append(jnp.max(jnp.where(sel, pair_min, -INF), axis=-1))
-        cancel_new = select_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
-                                                         fill=False)),
-                               cand.aparam) & claim
-        ndur_new = select_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
-                                                       fill=-INF)),
-                             cand.aparam)
+        cancel_new = (select_dir(
+            stack_b([pull(cancel_d[d], d, fill=False) for d in range(4)]),
+            cand.aparam) != 0) & claim
+        ndur_new = select_dir(
+            jnp.stack([pull(ndur_d[d], d, fill=-INF) for d in range(4)], -1),
+            cand.aparam)
         a_type = jnp.where(cancel_new, NONE, a_type)
         a_param = jnp.where(cancel_new, ndur_new, a_param)
         eta3 = jnp.where(cancel_new, ndur_new, eta2)
         # cancel-old: a surviving same-tick claim beaten in a chain is
         # rewritten in place to NONE(min) (GameState.java:291-293)
-        cancel_old = select_dir(_dir_stack(lambda d: pull(cancel_d[d], d,
-                                                         fill=False)),
-                               state.aparam) & st_exist
-        ndur_old = select_dir(_dir_stack(lambda d: pull(ndur_d[d], d,
-                                                       fill=-INF)),
-                             state.aparam)
+        cancel_old = (select_dir(
+            stack_b([pull(cancel_d[d], d, fill=False) for d in range(4)]),
+            state.aparam) != 0) & st_exist
+        ndur_old = select_dir(
+            jnp.stack([pull(ndur_d[d], d, fill=-INF) for d in range(4)], -1),
+            state.aparam)
 
         put = ~ignore
         return state.replace(
@@ -386,9 +407,16 @@ def make_engine(cfg: EngineConfig) -> Engine:
     # ------------------------------------------------------------------
     # cycle (GameState.cycle :553-571 + UnitAction.execute :338-465)
 
+    # statically deterministic damage (UTT v1/v2): no PRNG work at all
+    DET_DAMAGE = all(mn == mx for mn, mx in zip(cfg.min_damage,
+                                                cfg.max_damage))
+
     def cycle(state: State) -> Tuple[State, jax.Array]:
         t, exists = _unit_ctx(state)
-        key, sub = jax.random.split(state.key)
+        if DET_DAMAGE:
+            key = state.key
+        else:
+            key, sub = jax.random.split(state.key)
 
         ticks = jnp.where(state.busy, state.aticks - 1, state.aticks)
         comp = state.busy & (ticks <= 0)
@@ -411,11 +439,16 @@ def make_engine(cfg: EngineConfig) -> Engine:
         # scanning the static (2R+1)^2 offset box with shifts (scatter-adds
         # serialize on TPU; each (target, offset) pair has at most one
         # attacker, so shift-accumulate is exact)
-        dmin, dmax = tprop(MIN_D, t), tprop(MAX_D, t)
-        u01 = jax.random.uniform(sub, (H, W))
-        dmg = jnp.where(dmax > dmin,
-                        dmin + (u01 * (dmax - dmin + 1)).astype(jnp.int32),
-                        dmin)
+        dmin = tprop(MIN_D, t)
+        if DET_DAMAGE:
+            dmg = dmin
+        else:
+            dmax = tprop(MAX_D, t)
+            u01 = jax.random.uniform(sub, (H, W))
+            dmg = jnp.where(dmax > dmin,
+                            dmin + (u01 * (dmax - dmin + 1))
+                            .astype(jnp.int32),
+                            dmin)
         xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
         ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         dxp = state.atx - xs
@@ -458,20 +491,23 @@ def make_engine(cfg: EngineConfig) -> Engine:
             h_amt.append(jnp.where(h_val[-1], push(tprop(HARV_A, t), d), 0))
         h_ord = jnp.stack(h_ord, -1)
         h_amt = jnp.stack(h_amt, -1)
-        h_dir = jnp.broadcast_to(jnp.arange(4, dtype=jnp.int32), (H, W, 4))
+        h_dir = jax.lax.broadcasted_iota(jnp.int32, (H, W, 4), 2)
         ho_s, ha_s, hd_s = sort4(h_ord, h_amt, h_dir)
-        prev = jnp.concatenate(
-            [jnp.zeros((H, W, 1), jnp.int32), jnp.cumsum(ha_s, -1)[..., :3]], -1)
+        # exclusive 4-wide prefix, unrolled (cumsum doesn't lower in Pallas)
+        prev = jnp.stack(
+            [jnp.zeros((H, W), jnp.int32), ha_s[..., 0],
+             ha_s[..., 0] + ha_s[..., 1],
+             ha_s[..., 0] + ha_s[..., 1] + ha_s[..., 2]], -1)
         take_s = (ho_s < INF) & (state.carried[..., None] - prev > 0)
         node_taken = jnp.sum(jnp.where(take_s, ha_s, 0), axis=-1)
         node_res = state.carried - node_taken
         node_removed = is_res_n & (node_taken > 0) & (node_res <= 0)
         # scatter take flags back to harvesters (per approach direction)
-        got = jnp.zeros((H, W), bool)
+        got = t < -1
         amt_got = jnp.zeros((H, W), jnp.int32)
         for d in range(4):
             sel = (hd_s == d) & take_s
-            got_d = jnp.any(sel, -1)
+            got_d = jnp.max(jnp.where(sel, 1, 0), -1) > 0
             got = got | (hv_ok & (state.aparam == d)
                          & pull(got_d, d, fill=False))
             amt_got = amt_got + jnp.where(
@@ -482,24 +518,38 @@ def make_engine(cfg: EngineConfig) -> Engine:
         # (UnitAction.java:406-432 — deposits to the RETURNER's player; no
         # owner check at execution, unlike issue-time legality)
         is_stock_n = exists & tprop(IS_STOCK, t)
-        ret_valid = jnp.zeros((H, W), bool)
+        ret_valid = t < -1
         for d in range(4):
             rd = cr & (state.aparam == d) & (state.carried > 0)
             alive = (is_stock_n & (state.hp > dmg_pre_ret[d])
                      & (dep_order > q_d[d]))
             ret_valid = ret_valid | (rd & pull(alive, d, fill=False))
-        dep0 = jnp.sum(jnp.where(ret_valid & (state.owner == 0),
-                                 state.carried, 0))
-        dep1 = jnp.sum(jnp.where(ret_valid & (state.owner == 1),
-                                 state.carried, 0))
+        dep0 = sum2(jnp.where(ret_valid & (state.owner == 0),
+                              state.carried, 0))
+        dep1 = sum2(jnp.where(ret_valid & (state.owner == 1),
+                              state.carried, 0))
 
         # ---- produce: always funded (see module docstring); pay at
         # completion (UnitAction.java:434-463)
         pcost = tprop(COST, jnp.clip(state.aptype, 0, T - 1))
-        spend0 = jnp.sum(jnp.where(cp & (state.owner == 0), pcost, 0))
-        spend1 = jnp.sum(jnp.where(cp & (state.owner == 1), pcost, 0))
-        nb_rank = jnp.cumsum(cp.reshape(-1)).reshape(H, W) - 1
-        n_born = jnp.sum(cp)
+        spend0 = sum2(jnp.where(cp & (state.owner == 0), pcost, 0))
+        spend1 = sum2(jnp.where(cp & (state.owner == 1), pcost, 0))
+        # newborn rank = exclusive prefix count over row-major cells,
+        # computed as a matvec against a constant strict-triangular mask
+        # (MXU-friendly; cumsum doesn't lower in Pallas)
+        # exclusive prefix count over row-major cells, unrolled shifts
+        # (no reshape/cumsum: neither lowers in Mosaic)
+        cpi = jnp.where(cp, 1, 0)
+        row_prefix = jnp.zeros((H, W), jnp.int32)   # same row, cols before
+        for k in range(1, W):
+            row_prefix = row_prefix + _shift(cpi, k, 0)
+        row_tot = jnp.sum(cpi, -1, keepdims=True) * jnp.ones(
+            (1, W), jnp.int32)
+        rows_above = jnp.zeros((H, W), jnp.int32)   # full rows before
+        for k in range(1, H):
+            rows_above = rows_above + _shift(row_tot, 0, k)
+        nb_rank = rows_above + row_prefix
+        n_born = sum2(cpi)
 
         # ---- movers: alive at departure -> arrive; damage both ends
         mv_alive = cm & (state.hp - dmg_pre_dep > 0)
@@ -573,8 +623,8 @@ def make_engine(cfg: EngineConfig) -> Engine:
 
     def _counts(state: State):
         alive = state.utype > 0
-        n0 = jnp.sum(alive & (state.owner == 0))
-        n1 = jnp.sum(alive & (state.owner == 1))
+        n0 = sum2(jnp.where(alive & (state.owner == 0), 1, 0))
+        n1 = sum2(jnp.where(alive & (state.owner == 1), 1, 0))
         return n0, n1
 
     def gameover(state: State) -> jax.Array:
