@@ -68,8 +68,10 @@ class GridnetEnv:
 
     def __init__(self, map_path: str, utt: Optional[UnitTypeTable] = None,
                  reward_fns: Sequence[str] = REWARD_NAMES[:6],
-                 max_produce_scan: int = 16, partial_obs: bool = False):
+                 max_produce_scan: int = 16, partial_obs: bool = False,
+                 frame_skip: int = 1):
         self.partial_obs = partial_obs
+        self.frame_skip = frame_skip
         self.utt = utt if utt is not None else UnitTypeTable(2)
         self.pgs0 = PhysicalGameState.load(map_path, self.utt)
         self.h, self.w = self.pgs0.height, self.pgs0.width
@@ -95,6 +97,7 @@ class GridnetEnv:
         whose map lives on the other side of the socket)."""
         self = cls.__new__(cls)
         self.partial_obs = kwargs.get("partial_obs", False)
+        self.frame_skip = kwargs.get("frame_skip", 1)
         self.utt = utt
         self.pgs0 = PhysicalGameState(w, h)
         self.pgs0.players = []
@@ -353,6 +356,9 @@ class GridnetEnv:
             rank=jnp.where(c1.atype >= 0, HW2 + c1.rank, c0.rank))
         state = self.engine.issue(state, merged)
         state, done = self.engine.cycle(state)
+        for _ in range(self.frame_skip - 1):
+            state, d2 = self.engine.cycle(state)
+            done = done | d2
         r0 = self._rewards(pre, c0, 0, state)
         r1 = self._rewards(pre, c1, 1, state)
         return state, jnp.stack([r0, r1]), done

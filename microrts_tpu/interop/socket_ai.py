@@ -197,3 +197,101 @@ class AIServer:
     def shutdown(self):
         if self._server is not None:
             self._server.shutdown()
+
+
+class RemoteBot:
+    """Client side: a bot whose moves come from a remote AI server speaking
+    the SocketAI line protocol (the reference's SERVER/CLIENT launch modes,
+    rts/MicroRTS.java:62-81 / RemoteGame.java:23-43).  Wraps the remote
+    agent as a host-side bot usable in the CLI game loop — each getAction
+    ships the GameState as JSON and parses the returned PlayerAction."""
+
+    def __init__(self, env, host: str = "127.0.0.1", port: int = 9898,
+                 time_budget: int = 100, iter_budget: int = 0):
+        import socket as _socket
+
+        self.env = env
+        self._sock = _socket.create_connection((host, port), timeout=60)
+        self._f = self._sock.makefile("rwb")
+        # consume welcome line(s), send budget + utt (SocketAI.reset :130-166)
+        self._f.readline()
+        self._send(f"budget {time_budget} {iter_budget}\n")
+        self._f.readline()
+        self._send("utt\n" + env.utt.to_json() + "\n")
+        self._f.readline()
+
+    def _send(self, text: str):
+        self._f.write(text.encode())
+        self._f.flush()
+
+    def __call__(self, state, player, key=None):
+        """Returns a gridnet [H, W, 7] tensor decoded from the remote
+        PlayerAction reply."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .serialize import state_to_pgs, state_assignments
+
+        utt = self.env.utt
+        pgs = state_to_pgs(state, utt)
+        units = {u.ID: u for u in pgs.units}
+        o = {"time": int(state.time),
+             "pgs": {
+                 "width": pgs.width, "height": pgs.height,
+                 "terrain": "".join(str(int(t)) for t in pgs.terrain),
+                 "players": [{"ID": p.ID, "resources": p.resources}
+                             for p in pgs.players],
+                 "units": [{"type": utt.unit_types[u.type_id].name,
+                            "ID": u.ID, "player": u.player, "x": u.x,
+                            "y": u.y, "resources": u.resources,
+                            "hitpoints": u.hitpoints}
+                           for u in pgs.units]},
+             "actions": [{"ID": uid, "time": at,
+                          "action": _ad_json(a, utt)}
+                         for uid, at, _o, a in state_assignments(state)]}
+        self._send(f"getAction {int(player)}\n" + json.dumps(o) + "\n")
+        reply = json.loads(self._f.readline().decode())
+        H, W = self.env.h, self.env.w
+        out = np.zeros((H, W, 7), np.int32)
+        D = 2 * self.env.cfg.engine.max_range + 1
+        R = self.env.cfg.engine.max_range
+        for entry in reply:
+            u = units.get(entry.get("unitID"))
+            if u is None:
+                continue
+            ua = entry.get("unitAction", {})
+            t = ua.get("type", 0)
+            row = out[u.y, u.x]
+            row[0] = t
+            p = ua.get("parameter", -1)
+            if t == refimpl.TYPE_MOVE:
+                row[1] = p
+            elif t == refimpl.TYPE_HARVEST:
+                row[2] = p
+            elif t == refimpl.TYPE_RETURN:
+                row[3] = p
+            elif t == refimpl.TYPE_PRODUCE:
+                row[4] = p
+                ut = utt.get_unit_type(ua.get("unitType", ""))
+                row[5] = ut.ID if ut else 0
+            elif t == refimpl.TYPE_ATTACK_LOCATION:
+                rel_x = ua.get("x", u.x) - u.x + R
+                rel_y = ua.get("y", u.y) - u.y + R
+                row[6] = rel_y * D + rel_x
+        return jnp.asarray(out)
+
+    def close(self):
+        self._sock.close()
+
+
+def _ad_json(a: dict, utt: UnitTypeTable) -> dict:
+    t = a["type"]
+    out = {"type": t}
+    if t == refimpl.TYPE_ATTACK_LOCATION:
+        out["x"], out["y"] = a["x"], a["y"]
+    else:
+        if a["parameter"] != refimpl.DIRECTION_NONE:
+            out["parameter"] = a["parameter"]
+        if t == refimpl.TYPE_PRODUCE:
+            out["unitType"] = utt.unit_types[a["unit_type"]].name
+    return out

@@ -107,3 +107,78 @@ def test_cli_runs():
         capture_output=True, text=True, timeout=400, cwd="/root/repo")
     assert out.returncode == 0, out.stderr[-800:]
     assert "winner = player 0" in out.stdout
+
+
+def test_branching_factor_matches_oracle(env):
+    from microrts_tpu import refimpl
+    from microrts_tpu.engine.pgs import PhysicalGameState
+    from microrts_tpu.ops.branching import branching_factor
+
+    s = env.reset(jax.random.PRNGKey(0))
+    exact, _flt, _lg = branching_factor(env, s, 0)
+    gs = refimpl.GameState(PhysicalGameState.load(
+        f"{MAPS}/8x8/basesWorkers8x8.xml", env.utt).clone(), env.utt)
+    prod = 1
+    for u in gs.pgs.units:
+        if u.player == 0:
+            prod *= len(gs.get_unit_actions(u))
+    assert exact == prod
+
+
+def test_mapgen_playable(tmp_path):
+    from microrts_tpu.bots.scripted import passive_bot, worker_rush
+    from microrts_tpu.utils.mapgen import generate_symmetric_map, save_map_xml
+
+    pgs = generate_symmetric_map(10, 10, n_resources=2, seed=3)
+    p = str(tmp_path / "gen.xml")
+    from microrts_tpu.engine.utt import UnitTypeTable
+    save_map_xml(pgs, UnitTypeTable(2), p)
+    env2 = GridnetEnv(p)
+    wr, pa = worker_rush(env2), passive_bot(env2)
+    s = env2.reset(jax.random.PRNGKey(0))
+    step = jax.jit(lambda s, k: env2.step(s, wr(s, 0, k), pa(s, 1, k)))
+    k = jax.random.PRNGKey(1)
+    done = False
+    for _ in range(1200):
+        k, sub = jax.random.split(k)
+        s, _, done = step(s, sub)
+        if bool(done):
+            break
+    assert bool(done) and int(env2.engine.winner(s)) == 0
+
+
+def test_frame_skip():
+    env4 = GridnetEnv(f"{MAPS}/8x8/basesWorkers8x8.xml", frame_skip=4)
+    s = env4.reset(jax.random.PRNGKey(0))
+    s, _, _ = env4.step(s, jnp.zeros((8, 8, 7), jnp.int32),
+                        jnp.zeros((8, 8, 7), jnp.int32))
+    assert int(s.time) == 4
+
+
+def test_remote_bot_loopback():
+    """Full game over the SocketAI TCP protocol: our server hosts a rush
+    bot; RemoteBot queries it per tick from the local game loop."""
+    import time as _time
+
+    from microrts_tpu.bots.scripted import passive_bot, worker_rush
+    from microrts_tpu.interop.socket_ai import AIServer, RemoteBot
+
+    def mk(utt, h, w):
+        e = GridnetEnv.from_dims(utt, h, w)
+        return e, worker_rush(e)
+
+    srv = AIServer(mk, port=19903)
+    srv.start_background()
+    _time.sleep(0.3)
+    env5 = GridnetEnv(f"{MAPS}/8x8/basesWorkers8x8.xml")
+    remote = RemoteBot(env5, port=19903)
+    pa = passive_bot(env5)
+    s = env5.reset(jax.random.PRNGKey(0))
+    done = False
+    for i in range(600):
+        s, _, done = env5.step(s, remote(s, 0), pa(s, 1, jax.random.PRNGKey(i)))
+        if bool(done):
+            break
+    remote.close()
+    srv.shutdown()
+    assert bool(done) and int(env5.engine.winner(s)) == 0
