@@ -20,7 +20,7 @@ MAP = "/root/reference/maps/16x16/basesWorkers16x16.xml"
 BASELINE = 1_000_000.0  # env-steps/s/chip north star
 
 
-def main(num_envs: int = 2048, scan_len: int = 128, repeats: int = 3):
+def main(num_envs: int = 4096, scan_len: int = 128, repeats: int = 3):
     from microrts_tpu.env.gridnet import GridnetEnv
     from microrts_tpu.env.vec import VecGridnetEnv
 
