@@ -293,3 +293,126 @@ def _put(out, mask, atype, mdir=None, hdir=None, rdir=None, pdir=None,
         if val is not None:
             out = out.at[..., col].set(jnp.where(mask, val, out[..., col]))
     return out
+
+
+def detailed_to_gridnet(ex: "ExpertEnv", state: State, player,
+                        type_logits, tile_logits, key):
+    """JNIExpertAI detailed mode (:156-198 + unitAction :664-735): every
+    idle unit samples a board tile from the shared tile policy and a unit
+    type from the type policy, then dispatches:
+      building + movable type -> train; harvester -> move/harvest-loop/
+      attack/build by tile content; other movers -> move or attack.
+    Per-unit tile draws are independent (the reference's 0.7 probability
+    reduction after each pick is a sequential anti-duplication heuristic,
+    approximated here by independent sampling)."""
+    cfg = ex.cfg
+    H, W, T = ex.h, ex.w, cfg.engine.num_types
+    me = jnp.int32(player)
+    k_tile, k_type, k_auto = jax.random.split(key, 3)
+
+    t = jnp.clip(state.utype - 1, 0, T - 1)
+    exists = state.utype > 0
+    mine = exists & (state.owner == me)
+    idle = mine & ~state.busy
+    enemy = exists & (state.owner >= 0) & (state.owner != me)
+    resource = exists & ex._lk_res(t)
+    my_base = mine & ex._lk_stock(t)
+    can_move_u = ex._lk_harv(t) | make_lookup(cfg.engine.can_move, bool)(t)
+    passable = (state.terrain == 0) & ~exists
+    free_n = jnp.stack([K.pull(passable, d, fill=False)
+                        for d in range(4)], -1)
+
+    # per-unit tile sample: argmax over (shared logits + per-cell gumbel)
+    g = jax.random.gumbel(k_tile, (H, W, H * W))
+    tl = tile_logits.reshape(-1)[None, None, :]
+    tidx = jnp.argmax(tl + g, axis=-1).astype(jnp.int32)   # [H, W]
+    tx = tidx % W
+    ty = tidx // W
+    # per-unit type sample
+    gt = jax.random.gumbel(k_type, (H, W, T))
+    tau = jnp.argmax(type_logits[None, None, :] + gt, -1).astype(jnp.int32)
+
+    # content at the sampled tile, via a dense one-hot contraction
+    def at_tile(plane):
+        oh = jax.nn.one_hot(tidx, H * W, dtype=jnp.float32)
+        return jnp.einsum("hwc,c->hw", oh,
+                          plane.reshape(-1).astype(jnp.float32)) \
+            .astype(jnp.int32)
+
+    tgt_enemy = at_tile(jnp.where(enemy, 1, 0)) > 0
+    tgt_res = at_tile(jnp.where(resource, 1, 0)) > 0
+    tgt_own = at_tile(jnp.where(mine, 1, 0)) > 0
+    tgt_empty = ~(tgt_enemy | tgt_res | tgt_own)
+
+    lk_canmove_t = make_lookup(cfg.engine.can_move, bool)
+    tau_mobile = lk_canmove_t(tau)
+    is_building = mine & ~ex._lk_harv(t) & ~lk_canmove_t(t)
+    is_harv_unit = mine & ex._lk_harv(t)
+    is_other = mine & ~is_building & ~is_harv_unit
+
+    out = jnp.zeros((H, W, 7), jnp.int32)
+    tdir = jnp.argmax(free_n, -1).astype(jnp.int32)
+
+    # building trains the sampled (movable) type
+    prod_row = jnp.zeros((H, W), bool)
+    for i, row in enumerate(cfg.engine.produces):
+        for j, v in enumerate(row):
+            if v:
+                prod_row = prod_row | ((t == i) & (tau == j))
+    out = _put(out, idle & is_building & tau_mobile & prod_row
+               & free_n.any(-1), PRODUCE, pdir=tdir, ptype=tau)
+
+    # greedy movement toward the sampled tile
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    dx_ = tx - xs
+    dy_ = ty - ys
+    prefer_x = jnp.abs(dx_) >= jnp.abs(dy_)
+    dir_x = jnp.where(dx_ > 0, 1, 3)
+    dir_y = jnp.where(dy_ > 0, 2, 0)
+    want1 = jnp.where(prefer_x & (dx_ != 0), dir_x,
+                      jnp.where(dy_ != 0, dir_y, -1))
+    want2 = jnp.where(prefer_x & (dy_ != 0), dir_y,
+                      jnp.where(dx_ != 0, dir_x, -1))
+    free_at = lambda dsel: K.select_dir(free_n, jnp.clip(dsel, 0, 3)) \
+        & (dsel >= 0)
+    gdir = jnp.where(free_at(want1), want1,
+                     jnp.where(free_at(want2), want2, -1))
+
+    # attack the tile's occupant when in range, else walk toward it
+    R = cfg.engine.max_range
+    D = 2 * R + 1
+    rng = ex._lk_range(t)
+    in_range = (dx_ * dx_ + dy_ * dy_ <= rng * rng) & (tidx != ys * W + xs)
+    rel = jnp.clip((R + dy_), 0, D - 1) * D + jnp.clip((R + dx_), 0, D - 1)
+    can_atk_u = make_lookup(cfg.engine.can_attack, bool)(t)
+
+    # harvester dispatch
+    hu = idle & is_harv_unit
+    adj_res = jnp.stack([K.pull(resource, d, fill=False)
+                         for d in range(4)], -1)
+    adj_base = jnp.stack([K.pull(my_base, d, fill=False)
+                          for d in range(4)], -1)
+    carrying = state.carried > 0
+    move_case = hu & (tgt_empty | tgt_own) & (gdir >= 0)
+    out = _put(out, move_case, MOVE, mdir=gdir)
+    # harvest loop toward the sampled resource
+    out = _put(out, hu & tgt_res & carrying & adj_base.any(-1), RETURN,
+               rdir=jnp.argmax(adj_base, -1).astype(jnp.int32))
+    out = _put(out, hu & tgt_res & ~carrying & adj_res.any(-1), HARVEST,
+               hdir=jnp.argmax(adj_res, -1).astype(jnp.int32))
+    out = _put(out, hu & tgt_res & (gdir >= 0), MOVE, mdir=gdir)
+    out = _put(out, hu & tgt_enemy & can_atk_u & in_range, ATTACK, rel=rel)
+    out = _put(out, hu & tgt_enemy & (gdir >= 0), MOVE, mdir=gdir)
+    # harvester building the sampled static type at its side
+    out = _put(out, hu & ~tau_mobile & prod_row & free_n.any(-1),
+               PRODUCE, pdir=tdir, ptype=tau)
+
+    # other movers
+    ou = idle & is_other
+    out = _put(out, ou & (tgt_empty | tgt_own) & (gdir >= 0), MOVE,
+               mdir=gdir)
+    out = _put(out, ou & (tgt_enemy | tgt_res) & can_atk_u & in_range,
+               ATTACK, rel=rel)
+    out = _put(out, ou & tgt_enemy & (gdir >= 0), MOVE, mdir=gdir)
+    return out

@@ -93,3 +93,26 @@ def test_search_bot_actions_legal():
         legal = env4.engine.validate(s, c)
         real = np.asarray(c.atype) > 0
         assert np.asarray(legal)[real].all()
+
+
+def test_expert_detailed_mode(env):
+    """Detailed mode (unit-type x tile policy) steers units and wins."""
+    from microrts_tpu.env.expert import ExpertEnv, detailed_to_gridnet
+
+    ex = ExpertEnv(env)
+    pa = passive_bot(env)
+    s = env.reset(jax.random.PRNGKey(5))
+    T = env.cfg.engine.num_types
+    tile_logits = jnp.zeros((8, 8)).at[6:, 5:].set(4.0)
+    type_logits = jnp.zeros(T).at[env.cfg.worker_id].set(3.0)
+    step = jax.jit(lambda s, k: env.step(
+        s, detailed_to_gridnet(ex, s, 0, type_logits, tile_logits, k),
+        pa(s, 1, k)))
+    k = jax.random.PRNGKey(6)
+    done = False
+    for _ in range(1500):
+        k, sub = jax.random.split(k)
+        s, _, done = step(s, sub)
+        if bool(done):
+            break
+    assert bool(done) and int(env.engine.winner(s)) == 0
