@@ -351,24 +351,67 @@ def make_engine(cfg: EngineConfig) -> Engine:
         et = jnp.stack(et, -1)
         srcd = jax.lax.broadcasted_iota(jnp.int32, (H, W, 4), 2)
         rk_s, et_s, d_s = sort4(rk, et, srcd)
-        valid_s = rk_s < INF
-        m = jnp.sum(jnp.where(valid_s, 1, 0), axis=-1)  # claimants per cell
-        k_idx = jax.lax.broadcasted_iota(jnp.int32, (H, W, 4), 2)
-        survivor = (k_idx == m[..., None] - 1) & ((m[..., None] % 2) == 1)
-        cancelled_s = valid_s & ~survivor
-        # pair-min NONE durations: pairs are (0,1), (2,3) in sorted order
-        pair_min = jnp.stack([
-            jnp.minimum(et_s[..., 0], et_s[..., 1]),
-            jnp.minimum(et_s[..., 0], et_s[..., 1]),
-            jnp.minimum(et_s[..., 2], et_s[..., 3]),
-            jnp.minimum(et_s[..., 2], et_s[..., 3])], axis=-1)
+        # Sequential chain over the <=4 order-sorted claimants with a live-
+        # claimant carry, supporting all three policies (GameState.java
+        # :270-297).  CANCEL_BOTH reproduces Java exactly; RANDOM flips a
+        # per-conflict coin; ALTERNATING uses the cancelation counter with
+        # per-cell conflict ordering (cross-cell encounter order is
+        # approximated — it is unobservable except through the shared
+        # counter's parity, and the reference's counter is a JVM-global
+        # static with no defined per-game value anyway).
+        policy = cfg.move_conflict_policy
+        falseP = state.utype < -1
+        live = jnp.full((H, W), -1, jnp.int32)
+        cancelled_k = [falseP, falseP, falseP, falseP]
+        ndur_k = [jnp.zeros((H, W), jnp.int32) for _ in range(4)]
+        nconf = jnp.zeros((H, W), jnp.int32)
+        if policy == 2:
+            coins = jax.random.bernoulli(
+                jax.random.fold_in(state.key, state.order_ctr), 0.5,
+                (H, W, 4))
+        for k in range(4):
+            valid_k = rk_s[..., k] < INF
+            conflict = valid_k & (live >= 0)
+            et_live = jnp.zeros((H, W), jnp.int32)
+            for j in range(4):
+                et_live = jnp.where(live == j, et_s[..., j], et_live)
+            dur = jnp.minimum(et_live, et_s[..., k])
+            if policy == 2:      # CANCEL_RANDOM
+                c_new = conflict & coins[..., k]
+                c_old = conflict & ~coins[..., k]
+            elif policy == 3:    # CANCEL_ALTERNATING
+                parity = (state.cancel_ctr + nconf) % 2
+                c_new = conflict & (parity == 0)
+                c_old = conflict & (parity == 1)
+            else:                # CANCEL_BOTH (default, :275-276)
+                c_new = conflict
+                c_old = conflict
+            for j in range(4):
+                hit_old = c_old & (live == j)
+                cancelled_k[j] = cancelled_k[j] | hit_old
+                ndur_k[j] = jnp.where(hit_old, dur, ndur_k[j])
+            cancelled_k[k] = cancelled_k[k] | c_new
+            ndur_k[k] = jnp.where(c_new, dur, ndur_k[k])
+            # new live claimant: k if it enters (no conflict) or survives
+            # a cancel-old-only conflict; cleared when both cancel
+            live = jnp.where(valid_k & ~conflict, k,
+                             jnp.where(c_old & ~c_new, k,
+                                       jnp.where(c_new & ~c_old, live,
+                                                 jnp.where(conflict, -1,
+                                                           live))))
+            nconf = nconf + jnp.where(conflict, 1, 0)
         # map sorted slots back to direction-of-origin planes
         cancel_d = []
         ndur_d = []
         for d in range(4):
-            sel = (d_s == d) & cancelled_s
-            cancel_d.append(jnp.max(jnp.where(sel, 1, 0), axis=-1) > 0)
-            ndur_d.append(jnp.max(jnp.where(sel, pair_min, -INF), axis=-1))
+            acc = falseP
+            nd = jnp.full((H, W), -INF, jnp.int32)
+            for k in range(4):
+                sel = (d_s[..., k] == d) & cancelled_k[k]
+                acc = acc | sel
+                nd = jnp.where(sel, ndur_k[k], nd)
+            cancel_d.append(acc)
+            ndur_d.append(nd)
         cancel_new = (select_dir(
             stack_b([pull(cancel_d[d], d, fill=False) for d in range(4)]),
             cand.aparam) != 0) & claim
@@ -402,6 +445,8 @@ def make_engine(cfg: EngineConfig) -> Engine:
             aorder=jnp.where(put, new_key, state.aorder),
             atime=jnp.where(put, state.time, state.atime),
             order_ctr=state.order_ctr + 2 * H * W,
+            cancel_ctr=state.cancel_ctr
+            + (sum2(nconf) if cfg.move_conflict_policy == 3 else 0),
         )
 
     # ------------------------------------------------------------------

@@ -70,6 +70,7 @@ class State(struct.PyTreeNode):
     resources: jax.Array  # int32[2] player stockpiles
     next_id: jax.Array   # int32 (Unit.next_ID analog, Unit.java:34)
     order_ctr: jax.Array  # int32 issue-order counter
+    cancel_ctr: jax.Array  # int32 (unitCancelationCounter, GameState.java:38)
     key: jax.Array       # PRNG key (nondet damage, UnitAction.java:360-375)
 
 
@@ -189,7 +190,8 @@ def state_from_pgs(pgs: PhysicalGameState, cfg: EngineConfig,
         aorder=jnp.asarray(z), atime=jnp.asarray(z) - 1,
         time=jnp.int32(time), resources=jnp.asarray(res),
         next_id=jnp.int32(max((u.ID for u in pgs.units), default=-1) + 1),
-        order_ctr=jnp.int32(0), key=jax.random.PRNGKey(seed),
+        order_ctr=jnp.int32(0), cancel_ctr=jnp.int32(0),
+        key=jax.random.PRNGKey(seed),
     )
 
 

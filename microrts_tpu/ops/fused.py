@@ -40,7 +40,8 @@ from ..engine.types import Candidates, State
 PLANE_FIELDS = ("terrain", "utype", "owner", "hp", "carried", "uid", "busy",
                 "atype", "aparam", "atx", "aty", "aptype", "aticks",
                 "aorder", "atime")
-SCALAR_FIELDS = ("time", "resources", "next_id", "order_ctr", "key")
+SCALAR_FIELDS = ("time", "resources", "next_id", "order_ctr",
+                 "cancel_ctr", "key")
 CAND_FIELDS = ("atype", "aparam", "atx", "aty", "aptype", "rank")
 
 
@@ -74,7 +75,7 @@ def fused_cycle(engine: Engine, block: int = 256,
         planes = [r[:] for r in in_refs[:len(PLANE_FIELDS)]]
         scalars = [r[:] for r in in_refs[len(PLANE_FIELDS):]]
         # undo the 2D packing of true scalars
-        scalars = [s[:, 0] if f in ("time", "next_id", "order_ctr") else s
+        scalars = [s[:, 0] if f in ("time", "next_id", "order_ctr", "cancel_ctr") else s
                    for f, s in zip(SCALAR_FIELDS, scalars)]
         planes[6] = planes[6] != 0  # busy (astype->i1 truncation unsupported in Mosaic)
         state = _mk_state(planes, scalars)
@@ -117,7 +118,7 @@ def fused_cycle(engine: Engine, block: int = 256,
         n_p = len(PLANE_FIELDS)
         new_planes = list(outs[:n_p])
         new_planes[6] = new_planes[6].astype(bool)
-        new_scalars = [o[:, 0] if f in ("time", "next_id", "order_ctr")
+        new_scalars = [o[:, 0] if f in ("time", "next_id", "order_ctr", "cancel_ctr")
                        else o
                        for f, o in zip(SCALAR_FIELDS, outs[n_p:-1])]
         done = outs[-1][:, 0].astype(bool)
@@ -138,7 +139,7 @@ def fused_issue(engine: Engine, block: int = 256,
         np_, ns = len(PLANE_FIELDS), len(SCALAR_FIELDS)
         planes = [r[:] for r in in_refs[:np_]]
         scalars = [r[:] for r in in_refs[np_:np_ + ns]]
-        scalars = [s[:, 0] if f in ("time", "next_id", "order_ctr") else s
+        scalars = [s[:, 0] if f in ("time", "next_id", "order_ctr", "cancel_ctr") else s
                    for f, s in zip(SCALAR_FIELDS, scalars)]
         planes[6] = planes[6] != 0
         cand_vals = [r[:] for r in in_refs[np_ + ns:]]
@@ -182,7 +183,7 @@ def fused_issue(engine: Engine, block: int = 256,
         n_p = len(PLANE_FIELDS)
         new_planes = list(outs[:n_p])
         new_planes[6] = new_planes[6].astype(bool)
-        new_scalars = [o[:, 0] if f in ("time", "next_id", "order_ctr")
+        new_scalars = [o[:, 0] if f in ("time", "next_id", "order_ctr", "cancel_ctr")
                        else o
                        for f, o in zip(SCALAR_FIELDS, outs[n_p:])]
         return _mk_state(new_planes, new_scalars)

@@ -64,3 +64,46 @@ def test_device_trace_parity_all(path):
     trace = load_trace(str(path))
     n = replay_trace_device(trace)
     assert n == len(trace.entries)
+
+
+def test_conflict_policies():
+    """All three move-conflict policies (UnitTypeTable.java:46-57,
+    GameState.java:270-297): BOTH cancels both; RANDOM cancels one by
+    coin; ALTERNATING follows the cancelation counter and increments it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from microrts_tpu.engine import kernel as K
+    from microrts_tpu.engine.pgs import (HostPlayer, HostUnit,
+                                         PhysicalGameState)
+    from microrts_tpu.engine.types import (INF, Candidates, EngineConfig,
+                                           state_from_pgs)
+
+    def run(pol, seed):
+        utt = UnitTypeTable(2, pol)
+        pgs = PhysicalGameState(5, 5)
+        pgs.players = [HostPlayer(0, 5), HostPlayer(1, 5)]
+        wid = utt.get_unit_type("Worker").ID
+        pgs.add_unit(HostUnit(0, 0, wid, 1, 2, 0, 1))
+        pgs.add_unit(HostUnit(1, 1, wid, 3, 2, 0, 1))
+        cfg = EngineConfig.from_utt(utt, 5, 5)
+        eng = K.make_engine(cfg)
+        s = state_from_pgs(pgs, cfg)
+        at = np.full((5, 5), -1, np.int32)
+        ap = np.zeros((5, 5), np.int32)
+        rk = np.full((5, 5), INF, np.int32)
+        at[2, 1], ap[2, 1], rk[2, 1] = 1, 1, 0   # left worker moves right
+        at[2, 3], ap[2, 3], rk[2, 3] = 1, 3, 1   # right worker moves left
+        z = jnp.zeros((5, 5), jnp.int32)
+        cand = Candidates(jnp.asarray(at), jnp.asarray(ap), z, z, z,
+                          jnp.asarray(rk))
+        s2 = eng.issue(s.replace(key=jax.random.PRNGKey(seed)), cand)
+        return (int(s2.atype[2, 1]), int(s2.atype[2, 3]),
+                int(s2.cancel_ctr))
+
+    assert run(1, 0) == (0, 0, 0)                     # CANCEL_BOTH
+    rnd = {run(2, seed) for seed in range(8)}
+    assert rnd <= {(0, 1, 0), (1, 0, 0)} and len(rnd) == 2  # RANDOM: both ways
+    assert run(3, 0) == (1, 0, 1)                     # ALTERNATING: old wins,
+    #                                                   counter incremented
