@@ -155,7 +155,11 @@ class AIServer:
                     elif line.startswith("getAction"):
                         player = int(line.split()[1])
                         gs_line = self.rfile.readline().decode().strip()
-                        state = state_from_json(gs_line, utt)
+                        is_xml = gs_line.startswith("<")
+                        if is_xml:
+                            state = state_from_xml(gs_line, utt)
+                        else:
+                            state = state_from_json(gs_line, utt)
                         if bot is None:
                             h, w = state.utype.shape
                             env, bot = outer.make_bot(utt, h, w)
@@ -168,10 +172,19 @@ class AIServer:
                         rec = TraceRecorder(utt)
                         rec.record_candidates(state, cand)
                         _, _, acts = rec.entries[0]
-                        reply = json.dumps(
-                            [action_to_json(uid, ad, utt)
-                             for uid, ad in acts
-                             if ad["type"] != 0]).encode()
+                        real = [(uid, ad) for uid, ad in acts
+                                if ad["type"] != 0]
+                        if is_xml:
+                            from .serialize import _action_xml
+                            body = "".join(
+                                f'<action unitID="{uid}">'
+                                + _action_xml(ad, utt).replace("\n", "")
+                                + "</action>" for uid, ad in real)
+                            reply = f"<actions>{body}</actions>".encode()
+                        else:
+                            reply = json.dumps(
+                                [action_to_json(uid, ad, utt)
+                                 for uid, ad in real]).encode()
                         self.wfile.write(reply + b"\n")
                     elif line in ("gameOver", "exit", "close"):
                         self.wfile.write(b"ack\n")

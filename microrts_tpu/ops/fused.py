@@ -17,10 +17,13 @@ STATUS (experimental): the engine was refactored Mosaic-compatible (no
 scatters, no i1 pads/constants/selects, no cross-minor reshapes, no
 cumsum, chained reductions) and the kernels now pass Mosaic's lowering,
 but the final compile currently dies in a Mosaic-internal CHECK
-(`array.h:480 limits[i] <= dim(i) (2 vs. 1)`) — a compiler bug around
-small trailing dims, under investigation.  Interpreter-mode equivalence is
-green; the unfused engine remains the production path (~800K full RL
-env-steps/s/chip).
+(`array.h:480 limits[i] <= dim(i) (2 vs. 1)`).  Narrowed repro: STORING
+any [B, H, W] plane whose ancestry includes the damage-box computation
+crashes, while REDUCING the same value to a scalar compiles — i.e. a
+layout-assignment bug on materialization, not an unsupported op (outputs
+like `time` that dead-code the board pass).  Interpreter-mode equivalence
+is green; the unfused engine remains the production path (~1.4M full RL
+env-steps/s/chip, already past the 1M north star).
 """
 
 from __future__ import annotations

@@ -73,9 +73,10 @@ class Transition(NamedTuple):
 class PPOTrainer:
     def __init__(self, env: GridnetEnv, cfg: PPOConfig = PPOConfig(),
                  opponent: Optional[Callable] = None,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, selfplay: bool = False):
         self.env = env
         self.cfg = cfg
+        self.selfplay = selfplay
         self.vec = VecGridnetEnv(env, cfg.num_envs, cfg.max_steps)
         ecfg = env.cfg.engine
         self.space = ActionSpace(ecfg.num_types, 2 * ecfg.max_range + 1)
@@ -112,6 +113,15 @@ class PPOTrainer:
             return jnp.zeros((self.env.h, self.env.w, 7), jnp.int32)
         return self.opponent(state, 1, key)
 
+    def _selfplay_opp(self, params, state: State, key: jax.Array):
+        """Mirror self-play: player 1 acts with the SAME policy on its own
+        observation/masks (the JNIGridnetClientSelfPlay training mode)."""
+        obs = self.env.observation_onehot(state, 1)[None]
+        logits, _ = self.model.apply(params, obs)
+        mask = self.env.masks(state, 1)[..., 1:].astype(bool)
+        a, _, _ = sample_action(key, logits[0], mask, self.space)
+        return a
+
     # ------------------------------------------------------------------
     def _rollout(self, ts: TrainState):
         cfg = self.cfg
@@ -130,7 +140,11 @@ class PPOTrainer:
             can_act = mask[..., :6].any(-1)
             logprob = jnp.sum(jnp.where(can_act, lp_map, 0.0), axis=(-2, -1))
             okeys = jax.random.split(ko, cfg.num_envs)
-            a1 = jax.vmap(self._opp_action)(states, okeys)
+            if self.selfplay:
+                a1 = jax.vmap(lambda s, k: self._selfplay_opp(
+                    ts.params, s, k))(states, okeys)
+            else:
+                a1 = jax.vmap(self._opp_action)(states, okeys)
             nstates, nsteps, _, rewards, _, reset = self.vec.step(
                 states, steps, action, a1)
             r = jnp.sum(rewards[:, 0, :] * self.reward_w, axis=-1)

@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=0)
     p.add_argument("--eval-games", type=int, default=8)
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--selfplay", action="store_true",
+                   help="mirror self-play: player 1 uses the same policy")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -56,7 +58,8 @@ def main(argv=None):
         from ..parallel.mesh import make_mesh
         mesh = make_mesh()
         print(f"mesh: {mesh.devices.size} devices")
-    trainer = PPOTrainer(env, cfg, opponent=opponent, mesh=mesh)
+    trainer = PPOTrainer(env, cfg, opponent=opponent, mesh=mesh,
+                         selfplay=args.selfplay)
     ts = trainer.init(jax.random.PRNGKey(args.seed))
     if args.resume:
         ts = ts.replace(params=load_pytree(args.resume, ts.params))

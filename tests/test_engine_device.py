@@ -12,6 +12,7 @@ Two layers of differential testing (test strategy per SURVEY.md §4):
 import pathlib
 
 import pytest
+import zlib
 
 from microrts_tpu.engine.utt import UnitTypeTable
 from microrts_tpu.interop.bridge import replay_trace_device
@@ -35,7 +36,7 @@ FUZZ_CASES = [
                          ids=[f"{m}-v{v}" for m, v in FUZZ_CASES])
 def test_fuzz_vs_oracle(map_name, version):
     n = random_playout_diff(str(MAPS / map_name), UnitTypeTable(version),
-                            steps=300, seed=hash((map_name, version)) % 1000)
+                            steps=300, seed=zlib.crc32(f'{map_name}:{version}'.encode()) % 1000)
     assert n > 0
 
 

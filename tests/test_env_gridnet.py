@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import zlib
 
 from microrts_tpu.engine.utt import UnitTypeTable
 from microrts_tpu.env.gridnet import GridnetEnv
@@ -29,7 +30,7 @@ CASES = [
                          ids=[f"{m}-v{v}" for m, v in CASES])
 def test_gridnet_parity(map_name, version):
     n = gridnet_playout_diff(f"{MAPS}/{map_name}", UnitTypeTable(version),
-                             steps=250, seed=hash((map_name, version)) % 997)
+                             steps=250, seed=zlib.crc32(f'{map_name}:{version}'.encode()) % 997)
     assert n > 0
 
 
