@@ -44,7 +44,6 @@ def main(argv=None):
     gs.override_from_args(args)
 
     import jax
-    import jax.numpy as jnp
 
     from .engine.utt import UnitTypeTable
     from .env.gridnet import GridnetEnv

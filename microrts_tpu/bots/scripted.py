@@ -18,15 +18,13 @@ whole enemy set, which reaches the nearest enemy by construction.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..engine import kernel as K
 from ..engine.kernel import make_lookup
-from ..engine.types import ATTACK, HARVEST, MOVE, NONE, PRODUCE, RETURN, State
+from ..engine.types import ATTACK, HARVEST, MOVE, PRODUCE, RETURN, State
 from ..env.gridnet import GridnetEnv
 from ..ops.fields import descend_direction, distance_field
 

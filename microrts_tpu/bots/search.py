@@ -18,7 +18,6 @@ Budgets: the Java bots take time/iteration budgets
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Dict, Optional
 
 
 @dataclasses.dataclass

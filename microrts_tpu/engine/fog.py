@@ -8,8 +8,6 @@ units" (:35-54) becomes masking the unit planes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

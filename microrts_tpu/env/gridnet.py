@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine import kernel as K
-from ..engine.kernel import make_lookup, pull, select_dir
+from ..engine.kernel import make_lookup
 from ..engine.pgs import PhysicalGameState
 from ..engine.types import (ATTACK, HARVEST, INF, MOVE, NONE, PRODUCE, RETURN,
                             Candidates, EngineConfig, State, state_from_pgs)
@@ -340,28 +340,25 @@ class GridnetEnv:
             r1 = self._rewards(pre, c1, 1, state2)
             return state2, jnp.stack([r0, r1]), done
 
-        claimed = self._inflight_claims(state)
-        c0, claimed, _ = self.decode(state, a0, 0, claimed,
-                                     self._inflight_spent(state, 0))
-        c1, _, _ = self.decode(state, a1, 1, claimed,
-                               self._inflight_spent(state, 1))
-        # merge: p0's ranks all before p1's (sequential issueSafe calls)
-        HW2 = 2 * self.h * self.w
-        merged = Candidates(
-            atype=jnp.where(c1.atype >= 0, c1.atype, c0.atype),
-            aparam=jnp.where(c1.atype >= 0, c1.aparam, c0.aparam),
-            atx=jnp.where(c1.atype >= 0, c1.atx, c0.atx),
-            aty=jnp.where(c1.atype >= 0, c1.aty, c0.aty),
-            aptype=jnp.where(c1.atype >= 0, c1.aptype, c0.aptype),
-            rank=jnp.where(c1.atype >= 0, HW2 + c1.rank, c0.rank))
-        state = self.engine.issue(state, merged)
-        state, done = self.engine.cycle(state)
+        # Sequential per-player decode+issue, exactly the Java client flow
+        # (getAction -> issueSafe per player in order): p1's cumulative
+        # base_ru sees p0's POST-issueSafe assignments — an illegal p0
+        # claim that issueSafe turned into NONE must not block p1.  The
+        # engine's atime plane makes the second same-tick issue exact.
+        c0, _, _ = self.decode(state, a0, 0, self._inflight_claims(state),
+                               self._inflight_spent(state, 0))
+        state1 = self.engine.issue(state, c0)
+        c1, _, _ = self.decode(state1, a1, 1,
+                               self._inflight_claims(state1),
+                               self._inflight_spent(state1, 1))
+        state2 = self.engine.issue(state1, c1)
+        state2, done = self.engine.cycle(state2)
         for _ in range(self.frame_skip - 1):
-            state, d2 = self.engine.cycle(state)
+            state2, d2 = self.engine.cycle(state2)
             done = done | d2
-        r0 = self._rewards(pre, c0, 0, state)
-        r1 = self._rewards(pre, c1, 1, state)
-        return state, jnp.stack([r0, r1]), done
+        r0 = self._rewards(pre, c0, 0, state2)
+        r1 = self._rewards(pre, c1, 1, state2)
+        return state2, jnp.stack([r0, r1]), done
 
     def step_vs(self, state: State, a0: jax.Array, bot_fn):
         """Step with an external player-0 action and an on-device scripted

@@ -10,7 +10,7 @@ a heterogeneous pool and auto-reset restores each env's own map
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

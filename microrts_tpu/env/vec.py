@@ -11,8 +11,7 @@ the terminal ones while the returned observation is the fresh reset obs
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

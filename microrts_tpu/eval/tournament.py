@@ -13,13 +13,12 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..engine.types import State
 from ..env.gridnet import GridnetEnv
 
 

@@ -7,7 +7,7 @@ CI's golden-replay strategy (TestTracesIntegrity.java:29-127).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -15,7 +15,6 @@ from .. import refimpl
 from ..engine import kernel as K
 from ..engine.pgs import PhysicalGameState
 from ..engine.types import INF, Candidates, EngineConfig, State, state_from_pgs
-from ..engine.utt import UnitTypeTable
 from .trace import Trace
 
 

@@ -9,7 +9,7 @@ GameState.java:263-297), diffing the full plane state every tick.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from .. import refimpl
 from ..engine import kernel as K

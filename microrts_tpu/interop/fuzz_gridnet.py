@@ -17,7 +17,6 @@ import numpy as np
 
 from .. import refimpl
 from ..engine.pgs import PhysicalGameState
-from ..engine.types import state_from_pgs
 from ..engine.utt import UnitTypeTable
 from ..env.gridnet import GridnetEnv
 from .bridge import diff_vs_oracle

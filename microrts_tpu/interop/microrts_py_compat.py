@@ -9,12 +9,12 @@ auto-reset splicing, ``get_action_mask()``, and ``render()``.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 from ..engine.utt import UnitTypeTable
-from ..env.gridnet import GridnetEnv, REWARD_NAMES
+from ..env.gridnet import GridnetEnv
 from ..env.vec import VecGridnetEnv
 
 

@@ -13,7 +13,6 @@ Training state checkpoints use plain npz pytrees (utils side).
 
 from __future__ import annotations
 
-import io
 import xml.etree.ElementTree as ET
 import zipfile
 from typing import List, Optional, Tuple

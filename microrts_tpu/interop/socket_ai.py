@@ -14,8 +14,7 @@ from __future__ import annotations
 import json
 import socketserver
 import threading
-import xml.etree.ElementTree as ET
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 

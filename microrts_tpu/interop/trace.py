@@ -14,7 +14,7 @@ import dataclasses
 import io
 import xml.etree.ElementTree as ET
 import zipfile
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from ..engine.pgs import PhysicalGameState
 from ..engine.utt import UnitTypeTable

@@ -10,7 +10,7 @@ systolic array), bf16 activations by default with fp32 params and logits.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

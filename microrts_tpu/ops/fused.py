@@ -28,9 +28,6 @@ env-steps/s/chip, already past the 1M north star).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

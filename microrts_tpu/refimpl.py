@@ -24,11 +24,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
-from .engine import pgs as pgs_mod
 from .engine.pgs import HostUnit, PhysicalGameState, TERRAIN_NONE
 from .engine.utt import (
     MOVE_CONFLICT_RESOLUTION_CANCEL_ALTERNATING,
-    MOVE_CONFLICT_RESOLUTION_CANCEL_BOTH,
     MOVE_CONFLICT_RESOLUTION_CANCEL_RANDOM,
     UnitTypeTable,
 )

@@ -95,8 +95,6 @@ def main(argv=None):
 def evaluate(trainer, ts, opponent, n_games: int, max_cycles: int = 2000):
     """Greedy-policy win-rate vs the opponent (Tournament-style batch)."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from ..models.gridnet_policy import sample_action
 

@@ -7,7 +7,6 @@ pytrees) without external dependencies.
 
 from __future__ import annotations
 
-import json
 from typing import Any
 
 import jax
