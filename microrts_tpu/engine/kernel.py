@@ -4,8 +4,9 @@ This is a ground-up vectorized re-design of the Java hot loop (SURVEY.md §3.2)
 — not a translation.  Per-unit object scans (Unit.getUnitActions,
 Unit.java:368-522; GameState.issue conflict scan, GameState.java:249-328;
 GameState.cycle execution, :553-571) become fixed-shape stencil/shift ops and
-a small number of scatter-adds, so the whole tick jits, vmaps over envs, and
-scans over time with no host round-trips.
+dense shift-accumulations (no gathers or scatters — they lower poorly on
+TPU), so the whole tick jits, vmaps over envs, and scans over time with no
+host round-trips.
 
 Exactness model
 ---------------
@@ -22,7 +23,8 @@ order-sensitive interaction in closed form:
   multi-harvest depletion) reduces to per-cell threshold queries against the
   single occupancy transition a cell can have per tick (at most one arrival
   or one departure — reservations are exclusive), computed with order-
-  filtered scatter-added damage sums and 4-way sort networks.
+  filtered damage sums (dense shifts over the attack-range box) and 4-way
+  sort networks.
 
 Documented divergences from raw Java ``issue`` (none reachable through the
 reference's own clients, which all pre-check PlayerActions cumulatively —

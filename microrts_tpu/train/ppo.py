@@ -289,7 +289,7 @@ class PPOTrainer:
             ts.update_count)
         return TrainState(params=params, opt_state=opt_state,
                           env_states=env_states, env_steps=env_steps,
-                          key=key, update_count=upd + 1), metrics
+                          key=key, update_count=upd), metrics
 
 
 class _PsumTx:

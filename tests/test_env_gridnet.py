@@ -28,9 +28,11 @@ CASES = [
 
 @pytest.mark.parametrize("map_name,version", CASES,
                          ids=[f"{m}-v{v}" for m, v in CASES])
-def test_gridnet_parity(map_name, version):
+@pytest.mark.parametrize("salt", [0, 1, 2])
+def test_gridnet_parity(map_name, version, salt):
+    seed = zlib.crc32(f"{map_name}:{version}:{salt}".encode()) % 997
     n = gridnet_playout_diff(f"{MAPS}/{map_name}", UnitTypeTable(version),
-                             steps=250, seed=zlib.crc32(f'{map_name}:{version}'.encode()) % 997)
+                             steps=250, seed=seed)
     assert n > 0
 
 
