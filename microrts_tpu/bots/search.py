@@ -130,3 +130,61 @@ def naive_sampling_bot(env: GridnetEnv, n_rounds: int = 16,
         return best_a
 
     return bot
+
+
+def uct_bot(env: GridnetEnv, n_candidates: int = 8, n_rounds: int = 24,
+            playout_len: int = 48, c_uct: float = 1.4,
+            eval_fn: Optional[Callable] = None):
+    """DownsamplingUCT (ai/mcts/uct/DownsamplingUCT.java pattern): sample a
+    fixed candidate subset of the joint action space, then run UCB1 bandit
+    rounds over it — each visit is one playout — and return the most-
+    visited candidate.  Values use a [-1, 1] evaluation mapped to [0, 1]."""
+    ecfg = env.cfg.engine
+    if eval_fn is None:
+        eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
+    sampler = random_bot(env, 5.0)
+    rollout_policy = random_bot(env, 5.0)
+
+    def playout_value(state, cand_action, player, key):
+        k0, key = jax.random.split(key)
+        opp = rollout_policy(state, 1 - player, k0)
+        s, _, _ = env.step(state,
+                           jnp.where(jnp.int32(player) == 0, cand_action, opp),
+                           jnp.where(jnp.int32(player) == 0, opp, cand_action))
+
+        def body(carry, _):
+            s, k = carry
+            k, k1, k2 = jax.random.split(k, 3)
+            s, _, _ = env.step(s, rollout_policy(s, 0, k1),
+                               rollout_policy(s, 1, k2))
+            return (s, k), None
+
+        (s, _), _ = jax.lax.scan(body, (s, key), None, length=playout_len)
+        return (eval_fn(s, player) + 1.0) * 0.5
+
+    def bot(state, player, key):
+        kc, kr = jax.random.split(key)
+        cands = jax.vmap(lambda k: sampler(state, player, k))(
+            jax.random.split(kc, n_candidates))
+
+        def round_body(carry, k):
+            visits, values = carry
+            total = jnp.sum(visits)
+            ucb = jnp.where(
+                visits > 0,
+                values / jnp.maximum(visits, 1)
+                + c_uct * jnp.sqrt(jnp.log(jnp.maximum(total, 1))
+                                   / jnp.maximum(visits, 1)),
+                jnp.inf)
+            arm = jnp.argmax(ucb)
+            v = playout_value(state, cands[arm], player, k)
+            visits = visits.at[arm].add(1)
+            values = values.at[arm].add(v)
+            return (visits, values), None
+
+        (visits, _values), _ = jax.lax.scan(
+            round_body, (jnp.zeros(n_candidates), jnp.zeros(n_candidates)),
+            jax.random.split(kr, n_rounds))
+        return cands[jnp.argmax(visits)]
+
+    return bot
