@@ -51,6 +51,7 @@ class MapPoolVecEnv:
         self.env = GridnetEnv.__new__(GridnetEnv)
         e = self.env
         e.partial_obs = partial_obs
+        e.frame_skip = 1
         e.utt = self.utt
         e.pgs0 = padded[0]
         e.h, e.w = self.h, self.w

@@ -28,11 +28,11 @@ CASES = [
 
 @pytest.mark.parametrize("map_name,version", CASES,
                          ids=[f"{m}-v{v}" for m, v in CASES])
-@pytest.mark.parametrize("salt", [0, 1, 2])
+@pytest.mark.parametrize("salt", [0, 1])
 def test_gridnet_parity(map_name, version, salt):
     seed = zlib.crc32(f"{map_name}:{version}:{salt}".encode()) % 997
     n = gridnet_playout_diff(f"{MAPS}/{map_name}", UnitTypeTable(version),
-                             steps=250, seed=seed)
+                             steps=180, seed=seed)
     assert n > 0
 
 
