@@ -16,7 +16,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-MAP = "/root/reference/maps/16x16/basesWorkers16x16.xml"
+from microrts_tpu.utils.assets import asset_path
+
+MAP = asset_path("maps/16x16/basesWorkers16x16.xml")
 BASELINE = 1_000_000.0  # env-steps/s/chip north star
 
 

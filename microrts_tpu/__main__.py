@@ -48,9 +48,8 @@ def main(argv=None):
     from .engine.utt import UnitTypeTable
     from .env.gridnet import GridnetEnv
 
-    map_path = gs.map_location
-    if not map_path.startswith("/"):
-        map_path = f"/root/reference/{map_path}"
+    from .utils.assets import asset_path
+    map_path = asset_path(gs.map_location)
     utt = UnitTypeTable(gs.utt_version, gs.conflict_policy)
     env = GridnetEnv(map_path, utt, partial_obs=gs.partially_observable)
     bot1 = make_bot(gs.ai1, env)

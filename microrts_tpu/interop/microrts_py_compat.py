@@ -39,9 +39,8 @@ class MicroRTSGridModeVecEnv:
                  seed: int = 0):
         import jax
 
-        path = map_paths[0]
-        if not path.startswith("/"):
-            path = f"/root/reference/{path}"
+        from ..utils.assets import asset_path
+        path = asset_path(map_paths[0])
         self.utt = UnitTypeTable(utt_version)
         self.env = GridnetEnv(path, self.utt, partial_obs=partial_obs)
         self.vec = VecGridnetEnv(self.env, num_envs, max_steps)
