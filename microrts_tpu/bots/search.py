@@ -75,12 +75,14 @@ def monte_carlo_bot(env: GridnetEnv, n_candidates: int = 12,
 def naive_sampling_bot(env: GridnetEnv, n_rounds: int = 16,
                        playout_len: int = 48, epsilon: float = 0.33,
                        eval_fn: Optional[Callable] = None):
-    """NaiveMCTS-flavored CMAB search: per-unit (per-cell) action statistics
-    accumulate over rounds; each round's candidate mixes, per cell, the
-    best-so-far component action (exploit) with a fresh random one
-    (explore, prob. epsilon) — the naive-sampling local/global policy of
-    NaiveMCTSNode collapsed to one epsilon.  Returns the per-cell argmax
-    action after the budget."""
+    """Iterated hill-climbing on JOINT actions: each round proposes a
+    candidate that keeps the best joint action so far and epsilon-mutates
+    per-cell components, playouts it once, and keeps it iff the (scalar)
+    playout value improves.  NOT naive sampling — there are no per-unit
+    action statistics (the per-cell best_v is uniform); for the real
+    CMAB algorithm with per-unit tables and a tree see
+    ``bots.treesearch.naive_mcts_bot``.  Kept as a cheap strong-ish
+    baseline and as the strength yardstick NaiveMCTS must beat."""
     ecfg = env.cfg.engine
     H, W = env.h, env.w
     if eval_fn is None:

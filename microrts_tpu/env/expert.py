@@ -90,6 +90,9 @@ class ExpertEnv:
         any_barracks = jnp.any(barracks)
         return jnp.stack([
             jnp.asarray(True),
+            # JNIExpertAI.getActionMask gates 1 (allocate) and 2 (pull)
+            # on ANY worker existing (JNIExpertAI.java:251-255); macro 1
+            # no-ops when all workers are already flagged (:342-353).
             any_worker, any_worker,
             any_attacker, any_attacker, any_attacker, any_attacker,
             afford(cfg.worker_id) & any_base,
@@ -130,8 +133,11 @@ class ExpertEnv:
         pick_score = jnp.where(unflagged, r, -1.0)
         pick = (pick_score == jnp.max(pick_score)) & unflagged
         new_harv = roles.harvester
+        # Guard: with no unflagged worker the pick-sum degenerates to slot 0,
+        # which must not be spuriously flagged (mask slot 1 now also gates on
+        # unflagged availability, but samplers may ignore masks).
         new_harv = jnp.where(
-            macro == 1,
+            (macro == 1) & jnp.any(unflagged),
             new_harv.at[jnp.where(pick, uid_mod, 0).sum()
                         ].set(True),
             new_harv)

@@ -100,6 +100,19 @@ def sample_action(key, logits, mask, space: ActionSpace):
     return jnp.stack(acts, axis=-1).astype(jnp.int32), lp_sum, ent_sum
 
 
+def greedy_action(logits, mask, space: ActionSpace):
+    """Per-component argmax with invalid-action masking (deterministic
+    counterpart of sample_action, for greedy evaluation)."""
+    lps = split_components(logits, space)
+    mks = split_components(mask, space)
+    acts = []
+    for lg, mk in zip(lps, mks):
+        has = jnp.any(mk, axis=-1, keepdims=True)
+        lg = jnp.where(mk | ~has, lg, NEG_INF)
+        acts.append(jnp.argmax(lg, axis=-1))
+    return jnp.stack(acts, axis=-1).astype(jnp.int32)
+
+
 def action_logprob(logits, mask, action, space: ActionSpace):
     """Log-prob + entropy of a given action under current logits."""
     lps = split_components(logits, space)

@@ -279,12 +279,10 @@ class GameState:
                     # becoming NONE with parameter -1 (GameState.java:298-317)
                     ua = UnitAction(TYPE_NONE)
                     ru_new = resource_usage(ua, unit, self.pgs, self.utt)
-            # LinkedHashMap.put: existing key keeps its position
-            key = id(unit)
-            if key in self.unit_actions:
-                self.unit_actions[key] = Assignment(unit, ua, self.time)
-            else:
-                self.unit_actions[key] = Assignment(unit, ua, self.time)
+            # LinkedHashMap.put: a plain dict assignment matches — an existing
+            # key keeps its insertion position, a new key appends (Python
+            # dicts preserve insertion order the same way).
+            self.unit_actions[id(unit)] = Assignment(unit, ua, self.time)
             if ua.type != TYPE_NONE:
                 issued_real = True
         return issued_real

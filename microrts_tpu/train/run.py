@@ -44,12 +44,11 @@ def main(argv=None):
 
     from ..config import make_bot
     from ..env.gridnet import GridnetEnv
+    from ..utils.assets import asset_path
     from ..utils.checkpoint import load_pytree, save_pytree
     from .ppo import PPOConfig, PPOTrainer
 
-    map_path = args.map if args.map.startswith("/") \
-        else f"/root/reference/{args.map}"
-    env = GridnetEnv(map_path)
+    env = GridnetEnv(asset_path(args.map))
     opponent = make_bot(args.opponent, env)
     cfg = PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
                     lr=args.lr)
@@ -94,9 +93,7 @@ def main(argv=None):
 
 def evaluate(trainer, ts, opponent, n_games: int, max_cycles: int = 2000):
     """Greedy-policy win-rate vs the opponent (Tournament-style batch)."""
-    import jax
-
-    from ..models.gridnet_policy import sample_action
+    from ..models.gridnet_policy import greedy_action
 
     env = trainer.env
 
@@ -104,8 +101,7 @@ def evaluate(trainer, ts, opponent, n_games: int, max_cycles: int = 2000):
         obs = trainer._obs(state)[None]
         logits, _ = trainer.model.apply(ts.params, obs)
         mask = trainer._mask(state)
-        a, _, _ = sample_action(key, logits[0], mask, trainer.space)
-        return a
+        return greedy_action(logits[0], mask, trainer.space)
 
     from ..eval.tournament import play_matches
     w = play_matches(env, policy_bot, opponent, n_games, max_cycles)
