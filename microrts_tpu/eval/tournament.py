@@ -2,9 +2,13 @@
 
 Re-design of ``tournaments/RoundRobinTournament`` / ``Tournament.playSingleGame``
 (Tournament.java:60-240) and the ``tests/CompareAllAIs*`` drivers: instead of
-one sequential game at a time, every repetition of a pairing runs as a
-vmapped batch of lockstep games inside one jit — a tournament is a handful
-of XLA launches.  Java's per-move time budgets / crash-timeout bookkeeping
+one sequential game at a time, the WHOLE tournament runs as one jitted,
+vmapped batch of lockstep games — every (ordered pairing x repetition) is one
+batch lane, and each lane picks its two bots with ``lax.switch`` over the bot
+pool.  One XLA compile covers the full pool (vs one compile per ordered
+pairing), and every game in the tournament runs concurrently.
+
+Java's per-move time budgets / crash-timeout bookkeeping
 (Tournament.java:69-81, 127-150) have no analog for jitted bots and are
 intentionally dropped; max-cycle cutoffs and both-positions pairing are kept.
 """
@@ -13,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import Callable, Dict, List
+from typing import Callable, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,21 +26,26 @@ import numpy as np
 from ..env.gridnet import GridnetEnv
 
 
-def play_matches(env: GridnetEnv, bot0: Callable, bot1: Callable,
-                 n_games: int, max_cycles: int = 2000,
-                 seed: int = 0) -> np.ndarray:
-    """Run n_games lockstep games of bot0 (player 0) vs bot1 (player 1).
-    Returns winners int[n_games]: 0, 1, or -1 (draw / cycle cutoff,
-    Tournament.java:122-197 loop + winner :240)."""
+def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int):
+    """Build the jittable batched-game runner for a bot pool.
 
-    def one_game(key):
+    Returns ``run(i, j, keys) -> winners`` where ``i``/``j`` are per-game
+    bot-pool indices (player 0 / player 1) and winners are 0, 1, or -1
+    (draw / cycle cutoff, Tournament.java:122-197 loop + winner :240).
+    """
+    branches0 = [
+        (lambda b: lambda s, k: b(s, 0, k))(b) for b in bots]
+    branches1 = [
+        (lambda b: lambda s, k: b(s, 1, k))(b) for b in bots]
+
+    def one_game(i, j, key):
         s = env.reset(key)
 
         def body(carry, _):
             s, done, winner, k = carry
             k, k0, k1 = jax.random.split(k, 3)
-            a0 = bot0(s, 0, k0)
-            a1 = bot1(s, 1, k1)
+            a0 = jax.lax.switch(i, branches0, s, k0)
+            a1 = jax.lax.switch(j, branches1, s, k1)
             s2, _, done2 = env.step(s, a0, a1)
             # freeze finished games (select keeps the terminal state)
             s3 = jax.tree.map(
@@ -51,8 +60,19 @@ def play_matches(env: GridnetEnv, bot0: Callable, bot1: Callable,
             length=max_cycles)
         return winner
 
+    return jax.jit(jax.vmap(one_game))
+
+
+def play_matches(env: GridnetEnv, bot0: Callable, bot1: Callable,
+                 n_games: int, max_cycles: int = 2000,
+                 seed: int = 0) -> np.ndarray:
+    """Run n_games lockstep games of bot0 (player 0) vs bot1 (player 1).
+    Returns winners int[n_games]: 0, 1, or -1 (draw / cycle cutoff)."""
+    run = _games_fn(env, [bot0, bot1], max_cycles)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_games)
-    return np.asarray(jax.jit(jax.vmap(one_game))(keys))
+    i = jnp.zeros(n_games, jnp.int32)
+    j = jnp.ones(n_games, jnp.int32)
+    return np.asarray(run(i, j, keys))
 
 
 @dataclasses.dataclass
@@ -90,7 +110,11 @@ def round_robin(env: GridnetEnv, bots: Dict[str, Callable],
                 seed: int = 0, play_both_positions: bool = True
                 ) -> TournamentResult:
     """RoundRobinTournament (:22): every ordered pair plays
-    ``games_per_pair`` games; with both positions unless disabled."""
+    ``games_per_pair`` games; with both positions unless disabled.
+
+    The whole tournament is ONE compiled program and ONE device launch:
+    per-game bot indices dispatch through ``lax.switch``, so an n-bot pool
+    costs one compile instead of n*(n-1) (each 2-10 s for this engine)."""
     names = list(bots)
     n = len(names)
     wins = np.zeros((n, n), np.int64)
@@ -98,14 +122,23 @@ def round_robin(env: GridnetEnv, bots: Dict[str, Callable],
     games = np.zeros((n, n), np.int64)
     pairs = [(i, j) for i in range(n) for j in range(n) if i != j] \
         if play_both_positions else list(itertools.combinations(range(n), 2))
-    for idx, (i, j) in enumerate(pairs):
-        w = play_matches(env, bots[names[i]], bots[names[j]],
-                         games_per_pair, max_cycles, seed + idx * 1013)
-        wins[i, j] += (w == 0).sum()
-        wins[j, i] += (w == 1).sum()
-        t = (w == -1).sum()
-        ties[i, j] += t
-        ties[j, i] += t
-        games[i, j] += len(w)
-        games[j, i] += len(w)
+
+    run = _games_fn(env, [bots[nm] for nm in names], max_cycles)
+    ii = np.repeat([p[0] for p in pairs], games_per_pair).astype(np.int32)
+    jj = np.repeat([p[1] for p in pairs], games_per_pair).astype(np.int32)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.PRNGKey(seed),
+        jnp.arange(len(ii), dtype=jnp.uint32))
+    w = np.asarray(run(jnp.asarray(ii), jnp.asarray(jj), keys))
+
+    for g, (i, j) in enumerate(np.stack([ii, jj], 1)):
+        if w[g] == 0:
+            wins[i, j] += 1
+        elif w[g] == 1:
+            wins[j, i] += 1
+        else:
+            ties[i, j] += 1
+            ties[j, i] += 1
+        games[i, j] += 1
+        games[j, i] += 1
     return TournamentResult(names, wins, ties, games)
