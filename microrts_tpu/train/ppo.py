@@ -72,16 +72,18 @@ class Transition(NamedTuple):
 class PPOTrainer:
     def __init__(self, env: GridnetEnv, cfg: PPOConfig = PPOConfig(),
                  opponent: Optional[Callable] = None,
-                 mesh: Optional[Mesh] = None, selfplay: bool = False):
+                 mesh: Optional[Mesh] = None, selfplay: bool = False,
+                 tx: Optional[optax.GradientTransformation] = None,
+                 model: Optional[GridnetPolicy] = None):
         self.env = env
         self.cfg = cfg
         self.selfplay = selfplay
         self.vec = VecGridnetEnv(env, cfg.num_envs, cfg.max_steps)
         ecfg = env.cfg.engine
         self.space = ActionSpace(ecfg.num_types, 2 * ecfg.max_range + 1)
-        self.model = GridnetPolicy(self.space)
+        self.model = model if model is not None else GridnetPolicy(self.space)
         self.opponent = opponent
-        self.tx = optax.chain(
+        self.tx = tx if tx is not None else optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adam(cfg.lr))
         self.mesh = mesh
@@ -122,23 +124,27 @@ class PPOTrainer:
         return a
 
     # ------------------------------------------------------------------
-    def _rollout(self, ts: TrainState):
+    def _rollout(self, ts: TrainState, env_ids: jax.Array):
+        """Rollout with per-env RNG streams keyed by the GLOBAL env index,
+        so the trajectory is identical whatever mesh the envs shard over
+        (SURVEY.md §4: "same trajectory independent of mesh shape")."""
         cfg = self.cfg
-        env = self.env
+
+        base = jax.random.fold_in(ts.key, ts.update_count)
+        env_keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(env_ids)
 
         def step(carry, _):
-            states, steps, key = carry
-            key, ks, ko = jax.random.split(key, 3)
+            states, steps, keys = carry
+            ks3 = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+            skeys, okeys, keys = ks3[:, 0], ks3[:, 1], ks3[:, 2]
             obs = jax.vmap(self._obs)(states)
             mask = jax.vmap(self._mask)(states)
             logits, value = self.model.apply(ts.params, obs)
-            skeys = jax.random.split(ks, cfg.num_envs)
             action, lp_map, _ = jax.vmap(
                 lambda k, l, m: sample_action(k, l, m, self.space))(
                     skeys, logits, mask)
             can_act = mask[..., :6].any(-1)
             logprob = jnp.sum(jnp.where(can_act, lp_map, 0.0), axis=(-2, -1))
-            okeys = jax.random.split(ko, cfg.num_envs)
             if self.selfplay:
                 a1 = jax.vmap(lambda s, k: self._selfplay_opp(
                     ts.params, s, k))(states, okeys)
@@ -150,14 +156,14 @@ class PPOTrainer:
             tr = Transition(obs=obs, mask=mask, action=action,
                             logprob=logprob, value=value, reward=r,
                             done=reset)
-            return (nstates, nsteps, key), tr
+            return (nstates, nsteps, keys), tr
 
-        (states, steps, key), traj = jax.lax.scan(
-            step, (ts.env_states, ts.env_steps, ts.key), None,
+        (states, steps, _), traj = jax.lax.scan(
+            step, (ts.env_states, ts.env_steps, env_keys), None,
             length=cfg.rollout_len)
         last_obs = jax.vmap(self._obs)(states)
         _, last_value = self.model.apply(ts.params, last_obs)
-        return ts.replace(env_states=states, env_steps=steps, key=key), \
+        return ts.replace(env_states=states, env_steps=steps), \
             traj, last_value
 
     def _gae(self, traj: Transition, last_value):
@@ -175,7 +181,9 @@ class PPOTrainer:
                                traj, reverse=True)
         return advs, advs + traj.value
 
-    def _loss(self, params, batch: Transition, adv, ret):
+    def _loss(self, params, batch: Transition, adv_n, ret):
+        """Clipped-PPO loss over one minibatch.  ``adv_n`` arrives already
+        normalized (normalization is global so sharded == unsharded)."""
         cfg = self.cfg
         logits, value = self.model.apply(params, batch.obs)
         lp_map, ent_map = jax.vmap(
@@ -186,7 +194,6 @@ class PPOTrainer:
         entropy = jnp.mean(jnp.sum(jnp.where(can_act, ent_map, 0.0),
                                    axis=(-2, -1)))
         ratio = jnp.exp(logprob - batch.logprob)
-        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
         pg1 = ratio * adv_n
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
         pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
@@ -196,62 +203,99 @@ class PPOTrainer:
                           ratio=jnp.mean(ratio))
 
     # ------------------------------------------------------------------
-    def update(self, ts: TrainState):
-        """One PPO update: rollout + epochs x minibatch SGD.  Jittable."""
+    def update(self, ts: TrainState, env_ids: Optional[jax.Array] = None,
+               axis_name: Optional[str] = None):
+        """One PPO update: rollout + epochs x minibatch SGD.  Jittable.
+
+        Designed so the SAME program runs on one device or sharded over a
+        mesh axis (``update_sharded``): per-env RNG streams key off the
+        global env index (trajectories identical under any sharding);
+        minibatch m = the envs with global index = m (mod minibatches), so
+        each device holds an equal slice of every minibatch and
+        pmean-of-local-grad-means equals the global mean; advantage
+        normalization is computed globally.  Gradients therefore agree up
+        to fp32 reduction-order rounding only (exactly verified with SGD in
+        tests/test_parallel.py; with Adam the ~1e-7 grad noise can flip
+        sign(g) on near-zero gradients and move a weight by a full lr).
+        """
         cfg = self.cfg
-        ts, traj, last_value = self._rollout(ts)
+        if env_ids is None:
+            env_ids = jnp.arange(cfg.num_envs, dtype=jnp.uint32)
+        ts, traj, last_value = self._rollout(ts, env_ids)
         adv, ret = self._gae(traj, last_value)
 
-        # flatten [T, N, ...] -> [T*N, ...]
-        flat = jax.tree.map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), traj)
-        adv_f = adv.reshape(-1)
-        ret_f = ret.reshape(-1)
-        B = cfg.rollout_len * cfg.num_envs
-        mb = B // cfg.minibatches
+        def gmean(x):
+            m = jnp.mean(x)
+            return jax.lax.pmean(m, axis_name) if axis_name else m
+
+        m1 = gmean(adv)
+        m2 = gmean(adv * adv)
+        adv_n = (adv - m1) * jax.lax.rsqrt(
+            jnp.maximum(m2 - m1 * m1, 0.0) + 1e-8)
+
+        # minibatch m = envs with (global index % minibatches) == m.
+        # Locally env g*M + j has global index base + g*M + j, congruent to
+        # j mod M whenever the local env count divides by M — enforced here.
+        M = cfg.minibatches
+        N = cfg.num_envs
+        T = cfg.rollout_len
+        assert N % M == 0, "num_envs must divide by minibatches (per device)"
+
+        def to_mb(x):  # [T, N, ...] -> [M, T*(N//M), ...]
+            r = x.shape[2:]
+            return jnp.moveaxis(x.reshape((T, N // M, M) + r), 2, 0) \
+                      .reshape((M, T * (N // M)) + r)
+
+        flat = jax.tree.map(to_mb, traj)
+        adv_mb = to_mb(adv_n)
+        ret_mb = to_mb(ret)
 
         def epoch(carry, _):
-            params, opt_state, key = carry
-            key, pk = jax.random.split(key)
-            perm = jax.random.permutation(pk, B)
+            params, opt_state = carry
 
-            def minibatch(carry, idx):
+            def minibatch(carry, batch):
                 params, opt_state = carry
-                take = jax.lax.dynamic_slice_in_dim(perm, idx * mb, mb)
-                bt = jax.tree.map(lambda x: x[take], flat)
+                bt, badv, bret = batch
                 (loss, aux), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(
-                        params, bt, adv_f[take], ret_f[take])
+                    self._loss, has_aux=True)(params, bt, badv, bret)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
 
             (params, opt_state), auxs = jax.lax.scan(
-                minibatch, (params, opt_state),
-                jnp.arange(cfg.minibatches))
-            return (params, opt_state, key), auxs
+                minibatch, (params, opt_state), (flat, adv_mb, ret_mb))
+            return (params, opt_state), auxs
 
-        (params, opt_state, key), auxs = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state, ts.key), None,
-            length=cfg.epochs)
+        (params, opt_state), auxs = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state), None, length=cfg.epochs)
         metrics = jax.tree.map(lambda x: x[-1, -1], auxs)
-        metrics["mean_reward"] = jnp.mean(traj.reward)
-        metrics["episodes"] = jnp.sum(traj.done)
-        return ts.replace(params=params, opt_state=opt_state, key=key,
+        metrics["mean_reward"] = gmean(traj.reward)
+        episodes = jnp.sum(traj.done)
+        metrics["episodes"] = (jax.lax.psum(episodes, axis_name)
+                               if axis_name else episodes)
+        if axis_name:
+            for k in ("pg_loss", "v_loss", "entropy", "ratio"):
+                metrics[k] = jax.lax.pmean(metrics[k], axis_name)
+        return ts.replace(params=params, opt_state=opt_state,
+                          key=jax.random.fold_in(ts.key, 0x9e3779b9),
                           update_count=ts.update_count + 1), metrics
 
     # ------------------------------------------------------------------
     def update_sharded(self, ts: TrainState):
         """Data-parallel update over the mesh's "env" axis: each device
-        rolls out its env shard and computes grads on its minibatch shard;
-        grads/metrics are psum-averaged over ICI.  Same math as `update`."""
-        from jax.experimental.shard_map import shard_map
-
+        rolls out its env shard and computes grads on its minibatch slice;
+        grads/metrics reduce with psum over ICI.  Numerically equivalent to
+        ``update`` on one device — identical trajectories, gradients equal
+        up to reduction-order rounding (tests/test_parallel.py proves it
+        with an SGD optimizer where rounding is not amplified)."""
         mesh = self.mesh
         assert mesh is not None, "construct PPOTrainer with a mesh"
         cfg = self.cfg
         n_dev = mesh.devices.size
         assert cfg.num_envs % n_dev == 0
+        n_loc = cfg.num_envs // n_dev
+        assert n_loc % cfg.minibatches == 0, \
+            "per-device envs must divide by minibatches for dp equivalence"
 
         rep = P()
         env_ax = P("env")
@@ -261,29 +305,26 @@ class PPOTrainer:
                          update_count):
             lts = TrainState(params=params, opt_state=opt_state,
                              env_states=env_states, env_steps=env_steps,
-                             key=jax.random.fold_in(
-                                 key, jax.lax.axis_index("env")),
-                             update_count=update_count)
+                             key=key, update_count=update_count)
             # local rollout on this device's env shard: a shallow clone of
             # the trainer with the per-device batch size and a psum'd tx
             sub = PPOTrainer.__new__(PPOTrainer)
             sub.__dict__.update(self.__dict__)
-            sub.cfg = dataclasses.replace(cfg,
-                                          num_envs=cfg.num_envs // n_dev)
-            sub.vec = VecGridnetEnv(self.env, sub.cfg.num_envs,
-                                    cfg.max_steps)
+            sub.cfg = dataclasses.replace(cfg, num_envs=n_loc)
+            sub.vec = VecGridnetEnv(self.env, n_loc, cfg.max_steps)
             sub.tx = _PsumTx(self.tx)
-            nts, metrics = PPOTrainer.update(sub, lts)
-            metrics = jax.tree.map(
-                lambda x: jax.lax.pmean(x, "env"), metrics)
+            env_ids = (jax.lax.axis_index("env").astype(jnp.uint32) * n_loc
+                       + jnp.arange(n_loc, dtype=jnp.uint32))
+            nts, metrics = PPOTrainer.update(sub, lts, env_ids=env_ids,
+                                             axis_name="env")
             return (nts.params, nts.opt_state, nts.env_states,
                     nts.env_steps, nts.key, nts.update_count, metrics)
 
-        fn = shard_map(
+        fn = jax.shard_map(
             local_update, mesh=mesh,
             in_specs=(rep, rep, state_spec, env_ax, rep, rep),
             out_specs=(rep, rep, state_spec, env_ax, rep, rep, rep),
-            check_rep=False)
+            check_vma=False)
         params, opt_state, env_states, env_steps, key, upd, metrics = fn(
             ts.params, ts.opt_state, ts.env_states, ts.env_steps, ts.key,
             ts.update_count)
