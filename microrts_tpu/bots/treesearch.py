@@ -1,0 +1,505 @@
+"""Game-tree search with real trees: NaiveMCTS and UCT, arrays-of-nodes.
+
+TPU re-design of the reference's MCTS family (SURVEY.md §2.4).  The Java
+implementations (ai/mcts/naivemcts/NaiveMCTS.java:140-210,
+NaiveMCTSNode.java:115-330; ai/mcts/uct/UCT.java, DownsamplingUCT.java)
+grow a pointer tree of cloned GameStates on the host.  Here the tree is a
+FIXED-budget structure-of-arrays — node i's state is row i of a stacked
+State pytree, per-unit statistics are dense ``[N, H, W, A]`` tables over
+the arm catalog (ops/arms.py), and one search iteration (select leaf →
+playout → propagate) is a jitted fixed-trip loop, so whole tournaments of
+tree-search games batch with ``vmap``.
+
+Semantics matched to the reference:
+
+* alternating max/min nodes over SIMULTANEOUS moves: a node belongs to the
+  player that can act, maxplayer preferred; after both have committed the
+  state cycles forward to the next decision point (NaiveMCTSNode
+  constructor:38-114, ABCD-style duration handling);
+* naive sampling: with prob 1−ε₀ exploit the global MAB (ε_g-greedy over
+  existing children); otherwise sample each unit's arm from its local MAB —
+  uniform over UNVISITED legal arms while any exists
+  (forceExplorationOfNonSampledActions=true collapses the Java best-arm
+  scan to exactly this), else ε_l-greedy on the per-arm mean
+  (NaiveMCTSNode.selectLeafUsingLocalMABs:196-260);
+* evaluation: playout with RandomBiasedAI both sides for ``playout_len``
+  ticks, scored by an evaluation function ×0.99^(Δt/10)
+  (NaiveMCTS.iteration:195-210), propagated along the path with per-arm
+  credit at every edge (NaiveMCTSNode.propagateEvaluation:338-366);
+* final move = most-visited root child (getMostVisitedActionIdx:240-260).
+
+Documented divergences (all budget-shape, not behavior):
+
+* node/children budgets are static (``max_nodes``/``max_children``); when
+  exhausted the current node is evaluated as a leaf instead of expanding —
+  the Java tree is unbounded;
+* cross-unit resource consistency of a sampled joint action is resolved by
+  the engine's decode (exactly like every executed action) instead of the
+  Java resample-until-consistent loop;
+* joint actions are keyed by their full arm plane (exact compare), like
+  the BigInteger action codes of childrenMap.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.types import State
+from ..env.gridnet import GridnetEnv
+from ..ops.arms import (ArmSpace, arm_masks, arm_space, arms_to_action,
+                        one_hot_arms, sample_arms)
+from ..ops.evaluation import simple_sqrt_eval3
+from .scripted import random_bot
+
+
+def _row(x, i):
+    return jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False)
+
+
+def _get_state(states, i):
+    return jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+        states)
+
+
+def _set_state(states, i, s):
+    return jax.tree.map(
+        lambda x, v: jax.lax.dynamic_update_index_in_dim(
+            x, v.astype(x.dtype), i, 0), states, s)
+
+
+def _stack_state(s: State, n: int) -> State:
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), s)
+
+
+def _can_act(s: State, player) -> jax.Array:
+    """GameState.canExecuteAnyAction: any own idle unit (NONE is always
+    among its actions, so idle <=> can act)."""
+    return jnp.any((s.utype > 0) & (s.owner == jnp.int32(player))
+                   & ~s.busy)
+
+
+def _issue_player(env: GridnetEnv, s: State, action, player) -> State:
+    """Issue one player's gridnet action tensor (decode resolves claims
+    against in-flight reservations cumulatively, like issueSafe)."""
+    c, _, _ = env.decode(s, action, player, env._inflight_claims(s),
+                         env._inflight_spent(s, player))
+    return env.engine.issue(s, c)
+
+
+def _advance(env: GridnetEnv, s: State, max_wait: int = 512):
+    """Cycle until some unit can act or the game ends (the node-constructor
+    loop, NaiveMCTSNode.java:46-52).  ``max_wait`` bounds the loop; a state
+    still frozen after it is treated as terminal."""
+    eng = env.engine
+
+    def cond(c):
+        s, n, done = c
+        return (~done) & (n < max_wait) & ~(_can_act(s, 0) | _can_act(s, 1))
+
+    def body(c):
+        s, n, _ = c
+        s2, d = eng.cycle(s)
+        return (s2, n + 1, d)
+
+    s, n, done = jax.lax.while_loop(
+        cond, body, (s, jnp.int32(0), eng.gameover(s)))
+    stuck = (n >= max_wait) | ~(_can_act(s, 0) | _can_act(s, 1))
+    return s, done | (stuck & ~done) | done
+
+
+def _make_playout(env: GridnetEnv, playout_len: int, eval_fn, gamma: float):
+    """playout-with-RandomBiasedAI + eval, from any (possibly mid-tick)
+    state; returns the evaluation from ``player``'s perspective discounted
+    by 0.99^(Δt/10) from ``t0`` (NaiveMCTS.iteration:200-206)."""
+    rollout = random_bot(env, 5.0)
+
+    def playout(s: State, player, t0, key):
+        def body(carry, _):
+            s, done, k = carry
+            k, k0, k1 = jax.random.split(k, 3)
+            s2, _, d2 = env.step(s, rollout(s, 0, k0), rollout(s, 1, k1))
+            s3 = jax.tree.map(
+                lambda a, b: jnp.where(done, a, b), s, s2)
+            return (s3, done | d2, k), None
+
+        (sf, _, _), _ = jax.lax.scan(
+            body, (s, env.engine.gameover(s), key), None,
+            length=playout_len)
+        v = eval_fn(sf, player)
+        dt = (sf.time - t0).astype(jnp.float32)
+        return v * jnp.power(jnp.float32(gamma), dt / 10.0)
+
+    return playout
+
+
+# ======================================================================
+# NaiveMCTS
+
+class _NaiveTree(NamedTuple):
+    states: State        # [N+1, ...] (row N = write scratch)
+    nplayer: jax.Array   # i32 [N+1] player to move
+    nterm: jax.Array     # bool [N+1]
+    ndepth: jax.Array    # i32 [N+1]
+    nacc: jax.Array      # f32 [N+1]
+    nvis: jax.Array      # i32 [N+1]
+    tacc: jax.Array      # f32 [N+1, H, W, A] per-unit arm evaluations
+    tvis: jax.Array      # i32 [N+1, H, W, A] per-unit arm visit counts
+    children: jax.Array  # i32 [N+1, C]
+    carms: jax.Array     # i8 [N+1, C, H, W] edge arm plane per child
+    nchild: jax.Array    # i32 [N+1]
+    nnodes: jax.Array    # i32
+
+
+def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
+                   max_nodes: int = 96, max_children: int = 16,
+                   max_depth: int = 8, playout_len: int = 64,
+                   eps0: float = 0.2, eps_l: float = 0.25,
+                   eps_g: float = 0.0, gamma: float = 0.99,
+                   eval_fn: Optional[Callable] = None):
+    """NaiveMCTS (ai/mcts/naivemcts/NaiveMCTS.java) with per-unit CMAB
+    tables and a bounded batched tree.  Budgets are static (the Java
+    ITERATIONS_BUDGET analog is ``n_playouts``; TIME_BUDGET has no analog
+    for a jitted bot)."""
+    ecfg = env.cfg.engine
+    H, W = env.h, env.w
+    sp = arm_space(env)
+    A = sp.n_arms
+    N, C, D = max_nodes, max_children, max_depth
+    if eval_fn is None:
+        eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
+    playout = _make_playout(env, playout_len, eval_fn, gamma)
+
+    def init_tree(state: State, player) -> _NaiveTree:
+        return _NaiveTree(
+            states=_set_state(_stack_state(state, N + 1), 0, state),
+            nplayer=jnp.zeros(N + 1, jnp.int32).at[0].set(
+                jnp.int32(player)),
+            nterm=jnp.zeros(N + 1, bool).at[0].set(
+                env.engine.gameover(state)),
+            ndepth=jnp.zeros(N + 1, jnp.int32),
+            nacc=jnp.zeros(N + 1, jnp.float32),
+            nvis=jnp.zeros(N + 1, jnp.int32),
+            tacc=jnp.zeros((N + 1, H, W, A), jnp.float32),
+            tvis=jnp.zeros((N + 1, H, W, A), jnp.int32),
+            children=jnp.full((N + 1, C), -1, jnp.int32),
+            carms=jnp.full((N + 1, C, H, W), -1, jnp.int8),
+            nchild=jnp.zeros(N + 1, jnp.int32),
+            nnodes=jnp.int32(1))
+
+    def local_sample(t: _NaiveTree, cur, p, maxp, key):
+        """One naive-sampling draw of a joint action at node ``cur``:
+        per-cell local MABs (selectLeafUsingLocalMABs:196-260)."""
+        st = _get_state(t.states, cur)
+        m = env.engine.legal_masks(st, p)
+        la = arm_masks(sp, m)
+        tv = _row(t.tvis, cur)
+        ta = _row(t.tacc, cur)
+        unv = la & (tv == 0)
+        any_unv = jnp.any(unv, -1, keepdims=True)
+        nleg = jnp.maximum(jnp.sum(la, -1, keepdims=True), 1)
+        mean = ta / jnp.maximum(tv, 1)
+        mean = jnp.where(p == maxp, mean, -mean)   # min node: prefer low
+        best = jnp.argmax(jnp.where(la & (tv > 0), mean, -jnp.inf), -1)
+        greedy = (jax.lax.broadcasted_iota(jnp.int32, la.shape, 2)
+                  == best[..., None])
+        dist_vis = eps_l / nleg + jnp.where(greedy, 1.0 - eps_l, 0.0)
+        dist = jnp.where(any_unv, jnp.where(unv, 1.0, 0.0),
+                         jnp.where(la, dist_vis, 0.0))
+        return sample_arms(sp, key, dist, m["can_act"]), st
+
+    def bot(state: State, player, key):
+        maxp = jnp.int32(player)
+        tree = init_tree(state, maxp)
+        t0 = state.time
+
+        def one_playout(_, carry):
+            tree, key = carry
+            key, kd, kp = jax.random.split(key, 3)
+
+            # ---- select leaf (fixed-trip descent) -------------------
+            path = jnp.full(D + 2, -1, jnp.int32)
+            earm = jnp.full((D + 2, H, W), -1, jnp.int8)
+
+            def descend(step, c):
+                (t, cur, found, leaf, path, earm, plen, k) = c
+                k, k0, k1, k2, k3 = jax.random.split(k, 5)
+                p = _row(t.nplayer, cur)
+                term = _row(t.nterm, cur) | (_row(t.ndepth, cur) >= D)
+                nch = _row(t.nchild, cur)
+
+                # global MAB (selectFromAlreadySampledEpsilonGreedy)
+                crow = _row(t.children, cur)
+                cvis = jnp.take(t.nvis, jnp.maximum(crow, 0))
+                cacc = jnp.take(t.nacc, jnp.maximum(crow, 0))
+                mean = cacc / jnp.maximum(cvis, 1)
+                sgn = jnp.where(p == maxp, 1.0, -1.0)
+                slots = jnp.arange(C)
+                score = jnp.where(slots < nch, sgn * mean, -jnp.inf)
+                gslot = jnp.where(
+                    jax.random.uniform(k0) < eps_g,
+                    jax.random.randint(k1, (), 0, jnp.maximum(nch, 1)),
+                    jnp.argmax(score))
+                gchild = _row(crow, gslot)
+                garms = _row(_row(t.carms, cur), gslot)
+                use_global = (nch > 0) & (jax.random.uniform(k2) >= eps0) \
+                    & ~term & ~found
+
+                # local MABs
+                arms, st = local_sample(t, cur, p, maxp, k3)
+                arms8 = arms.astype(jnp.int8)
+
+                # child lookup by exact arm-plane compare (childrenMap)
+                eq = (_row(t.carms, cur) == arms8[None])
+                matches = (slots < nch) & jnp.all(
+                    eq.reshape(C, -1), axis=-1)
+                matched = jnp.any(matches)
+                mchild = _row(crow, jnp.argmax(matches))
+
+                # expansion (computed every step, applied when needed)
+                st1 = _issue_player(env, st, arms_to_action(sp, arms), p)
+                st2, done2 = _advance(env, st1)
+                can_max = _can_act(st2, maxp)
+                can_min = _can_act(st2, 1 - maxp)
+                cplayer = jnp.where(can_max, maxp, 1 - maxp)
+                cterm = done2 | (~can_max & ~can_min)
+                need_exp = ~found & ~term & ~use_global & ~matched
+                room = (t.nnodes < N) & (nch < C)
+                do_exp = need_exp & room
+                new_id = t.nnodes
+                widx = jnp.where(do_exp, new_id, N)
+                wcur = jnp.where(do_exp, cur, N)
+                slotc = jnp.clip(nch, 0, C - 1)
+                t = t._replace(
+                    states=_set_state(t.states, widx, st2),
+                    nplayer=t.nplayer.at[widx].set(cplayer),
+                    nterm=t.nterm.at[widx].set(cterm),
+                    ndepth=t.ndepth.at[widx].set(_row(t.ndepth, cur) + 1),
+                    children=t.children.at[wcur, slotc].set(new_id),
+                    carms=t.carms.at[wcur, slotc].set(arms8),
+                    nchild=t.nchild.at[wcur].add(1),
+                    nnodes=t.nnodes + do_exp.astype(jnp.int32))
+
+                # bookkeeping: path entry on every hop through an edge
+                move_g = use_global
+                move_m = ~found & ~term & ~use_global & matched
+                hop = move_g | move_m | do_exp
+                edge = jnp.where(move_g, garms, arms8)
+                pidx = jnp.where(hop, plen, D + 1)
+                path = path.at[pidx].set(jnp.where(hop, cur, -1))
+                earm = earm.at[pidx].set(edge)
+                plen = plen + hop.astype(jnp.int32)
+
+                leaf_now = (~found) & (term | (need_exp & ~room) | do_exp)
+                leaf = jnp.where(
+                    found, leaf,
+                    jnp.where(do_exp, new_id,
+                              jnp.where(term | (need_exp & ~room),
+                                        cur, leaf)))
+                nxt = jnp.where(move_g, gchild,
+                                jnp.where(move_m, mchild, cur))
+                nxt = jnp.where(do_exp, new_id, nxt)
+                cur = jnp.where(found, cur, nxt)
+                return (t, cur, found | leaf_now, leaf, path, earm,
+                        plen, k)
+
+            (tree, _, _, leaf, path, earm, plen, _) = jax.lax.fori_loop(
+                0, D + 2, descend,
+                (tree, jnp.int32(0), jnp.bool_(False), jnp.int32(0),
+                 path, earm, jnp.int32(0), kd))
+
+            # ---- playout + propagate -------------------------------
+            v = playout(_get_state(tree.states, leaf), maxp, t0, kp)
+            tree = tree._replace(nacc=tree.nacc.at[leaf].add(v),
+                                 nvis=tree.nvis.at[leaf].add(1))
+
+            def backprop(i, t):
+                active = i < plen
+                idx = jnp.where(active, _row(path, i), N)
+                e = _row(earm, i).astype(jnp.int32)
+                oh = one_hot_arms(sp, jnp.where(e >= 0, e, -1))
+                return t._replace(
+                    nacc=t.nacc.at[idx].add(v),
+                    nvis=t.nvis.at[idx].add(1),
+                    tacc=t.tacc.at[idx].add(
+                        jnp.where(oh, v, 0.0)),
+                    tvis=t.tvis.at[idx].add(oh.astype(jnp.int32)))
+
+            tree = jax.lax.fori_loop(0, D + 2, backprop, tree)
+            return tree, key
+
+        tree, _ = jax.lax.fori_loop(0, n_playouts, one_playout,
+                                    (tree, key))
+
+        # most-visited root child (getMostVisitedActionIdx)
+        crow = tree.children[0]
+        vis = jnp.where(jnp.arange(C) < tree.nchild[0],
+                        jnp.take(tree.nvis, jnp.maximum(crow, 0)), -1)
+        slot = jnp.argmax(vis)
+        best = _row(tree.carms[0], slot).astype(jnp.int32)
+        act = arms_to_action(sp, best)
+        return jnp.where(tree.nchild[0] > 0, act,
+                         jnp.zeros_like(act))
+
+    return bot
+
+
+# ======================================================================
+# UCT with tree growth (DownsamplingUCT move sets)
+
+class _UCTTree(NamedTuple):
+    states: State        # [N+1, ...]
+    nplayer: jax.Array   # i32 [N+1]
+    nterm: jax.Array     # bool [N+1]
+    ndepth: jax.Array    # i32 [N+1]
+    nvis: jax.Array      # i32 [N+1] node visits (for ln N)
+    acand: jax.Array     # i8 [N+1, K, H, W] candidate joint actions
+    avis: jax.Array      # i32 [N+1, K]
+    aacc: jax.Array      # f32 [N+1, K]
+    achild: jax.Array    # i32 [N+1, K] child node per arm (-1 = none)
+    nnodes: jax.Array    # i32
+
+
+def uct_tree_bot(env: GridnetEnv, n_playouts: int = 64,
+                 max_nodes: int = 96, n_candidates: int = 8,
+                 max_depth: int = 8, playout_len: int = 64,
+                 c_uct: float = 0.7, gamma: float = 0.99,
+                 eval_fn: Optional[Callable] = None):
+    """UCT over a downsampled move set with REAL tree growth
+    (ai/mcts/uct/DownsamplingUCT.java + UCTNode tree semantics): each node
+    carries K uniformly sampled candidate joint actions; unexplored
+    candidates expand first (UCTNode.UCTSelectLeaf), then UCB1 with the
+    [-1,1] evaluation mapped to [0,1]; move = most-visited root arm."""
+    ecfg = env.cfg.engine
+    H, W = env.h, env.w
+    sp = arm_space(env)
+    N, K, D = max_nodes, n_candidates, max_depth
+    if eval_fn is None:
+        eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
+    playout = _make_playout(env, playout_len, eval_fn, gamma)
+
+    def sample_cands(s: State, p, key):
+        m = env.engine.legal_masks(s, p)
+        la = arm_masks(sp, m).astype(jnp.float32)
+        return jax.vmap(
+            lambda k: sample_arms(sp, k, la, m["can_act"])
+            .astype(jnp.int8))(jax.random.split(key, K))
+
+    def bot(state: State, player, key):
+        maxp = jnp.int32(player)
+        key, kc = jax.random.split(key)
+        t0 = state.time
+        tree = _UCTTree(
+            states=_set_state(_stack_state(state, N + 1), 0, state),
+            nplayer=jnp.zeros(N + 1, jnp.int32).at[0].set(maxp),
+            nterm=jnp.zeros(N + 1, bool).at[0].set(
+                env.engine.gameover(state)),
+            ndepth=jnp.zeros(N + 1, jnp.int32),
+            nvis=jnp.zeros(N + 1, jnp.int32),
+            acand=jnp.full((N + 1, K, H, W), -1, jnp.int8).at[0].set(
+                sample_cands(state, maxp, kc)),
+            avis=jnp.zeros((N + 1, K), jnp.int32),
+            aacc=jnp.zeros((N + 1, K), jnp.float32),
+            achild=jnp.full((N + 1, K), -1, jnp.int32),
+            nnodes=jnp.int32(1))
+
+        def one_playout(_, carry):
+            tree, key = carry
+            key, kd, kp = jax.random.split(key, 3)
+            path_n = jnp.full(D + 2, -1, jnp.int32)
+            path_s = jnp.zeros(D + 2, jnp.int32)
+
+            def descend(step, c):
+                t, cur, found, leaf, pn, ps, plen, k = c
+                k, kc2 = jax.random.split(k)
+                p = _row(t.nplayer, cur)
+                term = _row(t.nterm, cur) | (_row(t.ndepth, cur) >= D)
+
+                av = _row(t.avis, cur)
+                aa = _row(t.aacc, cur)
+                unex = av == 0
+                any_unex = jnp.any(unex)
+                first_unex = jnp.argmax(unex)
+                mean = aa / jnp.maximum(av, 1)
+                mean = jnp.where(p == maxp, mean, -mean)
+                expl = (mean + 1.0) * 0.5 + c_uct * jnp.sqrt(
+                    jnp.log(jnp.maximum(_row(t.nvis, cur), 1).astype(
+                        jnp.float32) + 1.0) / jnp.maximum(av, 1))
+                slot = jnp.where(any_unex, first_unex, jnp.argmax(expl))
+                arms = _row(_row(t.acand, cur), slot).astype(jnp.int32)
+                child = _row(_row(t.achild, cur), slot)
+
+                # expansion when the chosen arm has no child yet
+                st = _get_state(t.states, cur)
+                st1 = _issue_player(env, st,
+                                    arms_to_action(sp, arms), p)
+                st2, done2 = _advance(env, st1)
+                can_max = _can_act(st2, maxp)
+                can_min = _can_act(st2, 1 - maxp)
+                cplayer = jnp.where(can_max, maxp, 1 - maxp)
+                cterm = done2 | (~can_max & ~can_min)
+                need_exp = ~found & ~term & (child < 0)
+                room = t.nnodes < N
+                do_exp = need_exp & room
+                new_id = t.nnodes
+                widx = jnp.where(do_exp, new_id, N)
+                wcur = jnp.where(do_exp, cur, N)
+                t = t._replace(
+                    states=_set_state(t.states, widx, st2),
+                    nplayer=t.nplayer.at[widx].set(cplayer),
+                    nterm=t.nterm.at[widx].set(cterm),
+                    ndepth=t.ndepth.at[widx].set(_row(t.ndepth, cur) + 1),
+                    acand=t.acand.at[widx].set(
+                        sample_cands(st2, cplayer, kc2)),
+                    achild=t.achild.at[wcur, slot].set(new_id),
+                    nnodes=t.nnodes + do_exp.astype(jnp.int32))
+
+                hop = ~found & ~term & ((child >= 0) | do_exp)
+                pidx = jnp.where(hop, plen, D + 1)
+                pn = pn.at[pidx].set(jnp.where(hop, cur, -1))
+                ps = ps.at[pidx].set(slot)
+                plen = plen + hop.astype(jnp.int32)
+
+                leaf_now = (~found) & (term | do_exp
+                                       | (need_exp & ~room))
+                leaf = jnp.where(found, leaf,
+                                 jnp.where(do_exp, new_id,
+                                           jnp.where(leaf_now, cur, leaf)))
+                nxt = jnp.where(do_exp, new_id,
+                                jnp.where(child >= 0, child, cur))
+                cur = jnp.where(found | leaf_now, cur, nxt)
+                return (t, cur, found | leaf_now, leaf, pn, ps, plen, k)
+
+            (tree, _, _, leaf, pn, ps, plen, _) = jax.lax.fori_loop(
+                0, D + 2, descend,
+                (tree, jnp.int32(0), jnp.bool_(False), jnp.int32(0),
+                 path_n, path_s, jnp.int32(0), kd))
+
+            v = playout(_get_state(tree.states, leaf), maxp, t0, kp)
+            tree = tree._replace(nvis=tree.nvis.at[leaf].add(1))
+
+            def backprop(i, t):
+                active = i < plen
+                idx = jnp.where(active, _row(pn, i), N)
+                s = _row(ps, i)
+                return t._replace(
+                    nvis=t.nvis.at[idx].add(1),
+                    avis=t.avis.at[idx, s].add(1),
+                    aacc=t.aacc.at[idx, s].add(v))
+
+            tree = jax.lax.fori_loop(0, D + 2, backprop, tree)
+            return tree, key
+
+        tree, _ = jax.lax.fori_loop(0, n_playouts, one_playout,
+                                    (tree, key))
+        slot = jnp.argmax(tree.avis[0])
+        best = _row(tree.acand[0], slot).astype(jnp.int32)
+        act = arms_to_action(sp, best)
+        return jnp.where(jnp.any(tree.avis[0] > 0), act,
+                         jnp.zeros_like(act))
+
+    return bot

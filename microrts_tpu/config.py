@@ -88,6 +88,10 @@ JAVA_AI_ALIASES = {
     "ai.abstraction.partialobservability.POLightRush": "POLightRush",
     "ai.abstraction.partialobservability.POHeavyRush": "POHeavyRush",
     "ai.abstraction.partialobservability.PORangedRush": "PORangedRush",
+    "ai.montecarlo.MonteCarlo": "MonteCarlo",
+    "ai.mcts.naivemcts.NaiveMCTS": "NaiveMCTS",
+    "ai.mcts.uct.UCT": "UCT",
+    "ai.mcts.uct.DownsamplingUCT": "DownsamplingUCT",
 }
 
 
@@ -109,6 +113,18 @@ def make_bot(name: str, env) -> "callable":
         "POHeavyRush": lambda: S.po_heavy_rush(env),
         "PORangedRush": lambda: S.po_ranged_rush(env),
     }
+
+    def _search():
+        from .bots import search as SE
+        from .bots import treesearch as TS
+        return {
+            "MonteCarlo": lambda: SE.monte_carlo_bot(env),
+            "NaiveMCTS": lambda: TS.naive_mcts_bot(env),
+            "UCT": lambda: TS.uct_tree_bot(env),
+            "DownsamplingUCT": lambda: TS.uct_tree_bot(env,
+                                                       n_candidates=4),
+        }
+    registry.update(_search())
     if name not in registry:
         raise ValueError(
             f"unknown AI {name!r}; available: {sorted(registry)}")
