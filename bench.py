@@ -1,16 +1,29 @@
 """Headline benchmark: gridnet env throughput (env-steps/s/chip).
 
-Measures the full RL step — decode + issue + cycle + observation + rewards
-+ dones + in-graph auto-reset — on basesWorkers16x16 over a vmapped batch,
-scanned on device.  North star (BASELINE.md): >= 1e6 env-steps/s/chip.
+Measures the full RL step — per-unit action sampling from the legality
+masks (RandomBiasedAI analog), decode + issue + cycle + observation +
+rewards + dones + in-graph auto-reset — over a vmapped batch scanned on
+device.  Unlike a zeros-action loop, every tick issues REAL moves,
+harvests, produces and attacks, so conflict resolution, the produce
+budget scan, damage delivery and live auto-resets are all in the
+measured path (VERDICT r1 "What's weak" #1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default: one JSON line for the driver —
+  {"metric", "value", "unit", "vs_baseline"}
+measured on basesWorkers16x16, batch 4096, random-vs-random.
+
+``python bench.py --sweep`` additionally sweeps maps
+{8x8, 16x16, 32x32, 64x64} x batch {1024, 4096, 16384} x actor
+{random, rush} and writes the table with mean/std over repeats to
+``BENCH_SWEEP.md`` (run on the real TPU; committed as the perf record).
+North star (BASELINE.md): >= 1e6 env-steps/s/chip on 16x16.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
+import statistics
 import time
 
 import jax
@@ -18,54 +31,136 @@ import jax.numpy as jnp
 
 from microrts_tpu.utils.assets import asset_path
 
-MAP = asset_path("maps/16x16/basesWorkers16x16.xml")
 BASELINE = 1_000_000.0  # env-steps/s/chip north star
 
+MAPS = {
+    "8x8": "maps/8x8/basesWorkers8x8.xml",
+    "16x16": "maps/16x16/basesWorkers16x16.xml",
+    "32x32": "maps/basesWorkers32x32A.xml",
+    "64x64": "maps/GardenOfWar64x64.xml",
+}
 
-def main(num_envs: int = 4096, scan_len: int = 128, repeats: int = 3):
+
+def _make_run(env, vec, num_envs, scan_len, actor):
+    """One compiled program: scan_len vmapped env steps with live actors."""
+
+    def body(carry, _):
+        st, sp, key = carry
+        key, k0, k1 = jax.random.split(key, 3)
+        a0, a1 = actor(st, k0, k1)
+        st, sp, _obs, rew, _dn, _rm = vec.step(st, sp, a0, a1)
+        return (st, sp, key), rew[0, 0, 0]
+
+    @jax.jit
+    def run(states, steps, key):
+        (states, steps, key), out = jax.lax.scan(
+            body, (states, steps, key), None, length=scan_len)
+        return states, steps, key, out.sum()
+
+    return run
+
+
+def _actor_random(env, num_envs, bias=5.0):
+    from microrts_tpu.bots.scripted import random_bot
+    bot = random_bot(env, bias)
+
+    def actor(states, k0, k1):
+        a0 = jax.vmap(lambda s, k: bot(s, 0, k))(
+            states, jax.random.split(k0, num_envs))
+        a1 = jax.vmap(lambda s, k: bot(s, 1, k))(
+            states, jax.random.split(k1, num_envs))
+        return a0, a1
+
+    return actor
+
+
+def _actor_rush(env, num_envs):
+    from microrts_tpu.bots.scripted import light_rush, worker_rush
+    b0, b1 = worker_rush(env), light_rush(env)
+
+    def actor(states, k0, k1):
+        a0 = jax.vmap(lambda s, k: b0(s, 0, k))(
+            states, jax.random.split(k0, num_envs))
+        a1 = jax.vmap(lambda s, k: b1(s, 1, k))(
+            states, jax.random.split(k1, num_envs))
+        return a0, a1
+
+    return actor
+
+
+def measure(map_key: str, num_envs: int, actor_name: str,
+            scan_len: int = 128, repeats: int = 5):
+    """Returns (mean, std, best) env-steps/s over ``repeats`` timed runs."""
     from microrts_tpu.env.gridnet import GridnetEnv
     from microrts_tpu.env.vec import VecGridnetEnv
 
-    env = GridnetEnv(MAP)
+    env = GridnetEnv(asset_path(MAPS[map_key]))
     vec = VecGridnetEnv(env, num_envs, max_steps=5000)
     states, steps = vec.reset(jax.random.PRNGKey(0))
-    h, w = env.h, env.w
-    actions = jnp.zeros((num_envs, h, w, 7), jnp.int32)
+    actor = (_actor_random(env, num_envs) if actor_name == "random"
+             else _actor_rush(env, num_envs))
+    run = _make_run(env, vec, num_envs, scan_len, actor)
 
-    @jax.jit
-    def run(states, steps):
-        def body(carry, _):
-            st, sp = carry
-            st, sp, _obs, rew, _dn, _rm = vec.step(st, sp, actions, actions)
-            return (st, sp), rew[0, 0, 0]
-        (states, steps), out = jax.lax.scan(
-            body, (states, steps), None, length=scan_len)
-        return states, steps, out.sum()
-
-    # warmup/compile
-    states, steps, _ = run(states, steps)
+    key = jax.random.PRNGKey(1)
+    states, steps, key, _ = run(states, steps, key)   # compile + warmup
     jax.block_until_ready(states.time)
 
-    best = 0.0
+    rates = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        states, steps, s = run(states, steps)
+        states, steps, key, s = run(states, steps, key)
         jax.block_until_ready(states.time)
-        dt = time.perf_counter() - t0
-        best = max(best, num_envs * scan_len / dt)
+        rates.append(num_envs * scan_len / (time.perf_counter() - t0))
+    return (statistics.fmean(rates),
+            statistics.stdev(rates) if len(rates) > 1 else 0.0,
+            max(rates))
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true",
+                    help="full map x batch x actor table -> BENCH_SWEEP.md")
+    ap.add_argument("--num-envs", type=int, default=4096)
+    ap.add_argument("--scan-len", type=int, default=128)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    if args.sweep:
+        dev = jax.devices()[0]
+        lines = [
+            "# Benchmark sweep — real actions (random-vs-random / "
+            "rush-vs-rush)",
+            "",
+            f"Device: {dev.device_kind}; scan_len={args.scan_len}; "
+            f"mean +/- std over {args.repeats} repeats; units: "
+            "env-steps/s/chip.",
+            "",
+            "| map | batch | actor | mean | std | best |",
+            "|---|---|---|---|---|---|",
+        ]
+        for map_key in MAPS:
+            for num_envs in (1024, 4096, 16384):
+                for actor_name in ("random", "rush"):
+                    if map_key == "64x64" and num_envs > 4096:
+                        continue  # HBM: 16k 64x64 states exceed v5e (doc'd)
+                    mean, std, best = measure(map_key, num_envs, actor_name,
+                                              args.scan_len, args.repeats)
+                    lines.append(
+                        f"| {map_key} | {num_envs} | {actor_name} | "
+                        f"{mean:,.0f} | {std:,.0f} | {best:,.0f} |")
+                    print(lines[-1], flush=True)
+        with open("BENCH_SWEEP.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    mean, std, best = measure("16x16", args.num_envs, "random",
+                              args.scan_len, args.repeats)
     print(json.dumps({
-        "metric": "env_steps_per_sec_per_chip",
-        "value": round(best, 1),
+        "metric": "env_steps_per_sec_per_chip_real_actions",
+        "value": round(mean, 1),
         "unit": "steps/s",
-        "vs_baseline": round(best / BASELINE, 4),
+        "vs_baseline": round(mean / BASELINE, 4),
     }))
 
 
 if __name__ == "__main__":
-    kw = {}
-    if len(sys.argv) > 1:
-        kw["num_envs"] = int(sys.argv[1])
-    if len(sys.argv) > 2:
-        kw["scan_len"] = int(sys.argv[2])
-    main(**kw)
+    main()

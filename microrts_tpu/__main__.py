@@ -52,8 +52,11 @@ def main(argv=None):
     map_path = asset_path(gs.map_location)
     utt = UnitTypeTable(gs.utt_version, gs.conflict_policy)
     env = GridnetEnv(map_path, utt, partial_obs=gs.partially_observable)
+    from .bots.believestate import StatefulBot, stateless
     bot1 = make_bot(gs.ai1, env)
     bot2 = make_bot(gs.ai2, env)
+    sb1 = bot1 if isinstance(bot1, StatefulBot) else stateless(bot1)
+    sb2 = bot2 if isinstance(bot2, StatefulBot) else stateless(bot2)
 
     recorder = None
     if args.trace:
@@ -61,12 +64,20 @@ def main(argv=None):
         recorder = TraceRecorder(utt)
 
     state = env.reset(jax.random.PRNGKey(args.seed))
-    step = jax.jit(lambda s, k: env.step(
-        s, bot1(s, 0, k), bot2(s, 1, jax.random.fold_in(k, 1))))
+    mem1 = sb1.init(state, 0)
+    mem2 = sb2.init(state, 1)
 
     @jax.jit
-    def decoded_p0(s, k):
-        c0, _, _ = env.decode(s, bot1(s, 0, k), 0,
+    def step(s, m1, m2, k):
+        a1, m1 = sb1.step(s, m1, 0, k)
+        a2, m2 = sb2.step(s, m2, 1, jax.random.fold_in(k, 1))
+        s, r, d = env.step(s, a1, a2)
+        return s, m1, m2, r, d
+
+    @jax.jit
+    def decoded_p0(s, m1, k):
+        a1, _ = sb1.step(s, m1, 0, k)
+        c0, _, _ = env.decode(s, a1, 0,
                               env._inflight_claims(s),
                               env._inflight_spent(s, 0))
         return c0
@@ -78,8 +89,8 @@ def main(argv=None):
     while tick < gs.max_cycles and not done:
         key, sub = jax.random.split(key)
         if recorder is not None:
-            recorder.record_candidates(state, decoded_p0(state, sub))
-        state, _r, done = step(state, sub)
+            recorder.record_candidates(state, decoded_p0(state, mem1, sub))
+        state, mem1, mem2, _r, done = step(state, mem1, mem2, sub)
         done = bool(done)
         tick += 1
         if args.render and (tick % max(1, gs.update_interval) == 0 or done):

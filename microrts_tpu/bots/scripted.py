@@ -74,20 +74,49 @@ def random_bot(env: GridnetEnv, bias: float = 1.0):
 
 @dataclasses.dataclass(frozen=True)
 class RushSpec:
-    """Which rush: combat type trained, whether to build barracks first."""
-    combat_type: str = "Worker"   # Worker | Light | Heavy | Ranged
+    """Behavior spec covering the whole scripted-bot variant family
+    (ai/abstraction/*.java).  Defaults express plain WorkerRush; the other
+    fields add the deltas of the defense / economy / ++ / cRush variants:
+
+    - ``combat_type``: which type the barracks trains; "Mixed" trains the
+      first affordable of Light > Ranged > Heavy (EconomyMilitaryRush
+      .java:179-206's affordability ladder);
+    - ``n_harvesters``: harvest crew size; -1 = every worker harvests
+      (EconomyRush.java:291-323, CRush_V1.java:383-415);
+    - ``defense_frac``: > 0 makes fighters engage only when the nearest
+      enemy OR the own base is within ``H * defense_frac`` of the unit
+      (WorkerDefense.java:117-143's H/2 standoff; distances here are BFS
+      path distances rather than Java's Manhattan — documented
+      approximation);
+    - ``rebuild_base``: a worker rebuilds the base when none exists
+      (WorkerRushPlusPlus.java:161-168, EconomyRush.java:253-264);
+    - ``max_workers``: cap on worker training (EconomyRush qtdWorkLim=4;
+      0 = unlimited);
+    - ``expand``: a worker expands to a second base near the closest
+      resource that has no base around, once a barracks stands and only
+      one base is owned (ai/puppet/BasicConfigurableScript.java:279-307's
+      EXPAND choice point; "no base around" here = BFS distance from own
+      bases > ``EXPAND_RADIUS``, vs Java's radius-10 unit scan).
+    """
+    combat_type: str = "Worker"   # Worker | Light | Heavy | Ranged | Mixed
     n_harvesters: int = 1
+    defense_frac: float = 0.0
+    rebuild_base: bool = False
+    max_workers: int = 0
+    expand: bool = False
 
 
 def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
     """WorkerRush / LightRush / HeavyRush / RangedRush
-    (ai/abstraction/WorkerRush.java:63-204 and siblings):
-      - base trains Workers while affordable;
+    (ai/abstraction/WorkerRush.java:63-204 and siblings) plus the variant
+    family via ``RushSpec``:
+      - base trains Workers while affordable (capped by ``max_workers``);
       - (non-worker rushes) a worker builds a Barracks once affordable,
         and the Barracks trains the combat type;
       - the first ``n_harvesters`` workers run the harvest loop
         (Harvest.java:72-114: harvest adjacent / return adjacent / walk);
-      - every other combat-capable unit attack-moves to the nearest enemy.
+      - every other combat-capable unit attack-moves to the nearest enemy
+        (gated by the ``defense_frac`` standoff for the defense family).
     """
     cfg = env.cfg
     ecfg = cfg.engine
@@ -100,8 +129,10 @@ def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
     lk_res = make_lookup(ecfg.is_resource, bool)
     lk_stock = make_lookup(ecfg.is_stockpile, bool)
     lk_range = make_lookup(ecfg.attack_range)
-    combat_id = getattr(cfg, f"{spec.combat_type.lower()}_id")
+    mixed = spec.combat_type == "Mixed"
+    combat_id = -1 if mixed else getattr(cfg, f"{spec.combat_type.lower()}_id")
     need_barracks = spec.combat_type != "Worker" and cfg.barracks_id >= 0
+    all_harvest = spec.n_harvesters < 0
     iters = H + W
 
     def bot(state: State, player, key):
@@ -128,25 +159,53 @@ def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
 
         out = jnp.zeros((H, W, 7), jnp.int32)
 
-        # ---- base: train workers (WorkerRush.baseBehavior)
+        # ---- base: train workers (WorkerRush.baseBehavior), optionally
+        # capped at max_workers (EconomyRush.java:153-158 qtdWorkLim)
+        worker = mine & lk_harv(t)
         train_w = (idle & my_base & (cfg.worker_id >= 0)
                    & (balance >= COST[max(cfg.worker_id, 0)])
                    & jnp.any(free_n, -1))
+        if spec.max_workers > 0:
+            train_w &= jnp.sum(worker) < spec.max_workers
         tdir = jnp.argmax(free_n, -1).astype(jnp.int32)
         out = _set(out, train_w, PRODUCE, pdir=tdir, ptype=cfg.worker_id)
 
-        # ---- barracks: train the combat type
+        # ---- barracks: train the combat type ("Mixed": first affordable
+        # of Light > Ranged > Heavy, EconomyMilitaryRush.java:179-206)
         if need_barracks:
-            train_c = (idle & my_barracks
-                       & (balance >= COST[max(combat_id, 0)])
-                       & jnp.any(free_n, -1))
-            out = _set(out, train_c, PRODUCE, pdir=tdir, ptype=combat_id)
+            if mixed:
+                aff = [(tid, balance >= COST[tid])
+                       for tid in (cfg.light_id, cfg.ranged_id,
+                                   cfg.heavy_id) if tid >= 0]
+                ctype = jnp.int32(aff[-1][0])
+                can_aff = jnp.zeros((), bool)
+                for tid, ok in reversed(aff):
+                    ctype = jnp.where(ok, tid, ctype)
+                    can_aff = can_aff | ok
+                train_c = idle & my_barracks & can_aff & jnp.any(free_n, -1)
+            else:
+                ctype = jnp.int32(combat_id)
+                train_c = (idle & my_barracks
+                           & (balance >= COST[max(combat_id, 0)])
+                           & jnp.any(free_n, -1))
+            out = _set(out, train_c, PRODUCE, pdir=tdir, ptype=ctype)
+
+        # ---- base rebuild: a worker rebuilds a lost base
+        # (WorkerRushPlusPlus.java:161-168)
+        harv_rank = _rank_by_uid(worker, state.uid)
+        build_base = jnp.zeros_like(worker)
+        if spec.rebuild_base and cfg.base_id >= 0:
+            base_pend = (~jnp.any(my_base)
+                         & (balance >= COST[cfg.base_id]))
+            build_base = (idle & worker & (harv_rank == 0) & base_pend
+                          & jnp.any(free_n, -1))
+            out = _set(out, build_base, PRODUCE, pdir=tdir,
+                       ptype=cfg.base_id)
 
         # ---- harvesters: lowest-uid workers run the harvest loop
-        worker = mine & lk_harv(t)
-        harv_rank = _rank_by_uid(worker, state.uid)
-        is_harv = worker & (harv_rank < spec.n_harvesters)
-        hu = idle & is_harv
+        is_harv = worker if all_harvest \
+            else worker & (harv_rank < spec.n_harvesters)
+        hu = idle & is_harv & ~build_base
         adj_res = jnp.stack([K.pull(resource, d, fill=False)
                              for d in range(4)], -1)
         adj_base = jnp.stack([K.pull(my_base, d, fill=False)
@@ -168,8 +227,11 @@ def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
         out = _set(out, walk_r & (mdir_r >= 0), MOVE, mdir=mdir_r)
 
         # ---- builder: first idle worker (after harvesters) builds barracks
+        # (when every worker harvests, the oldest one interrupts its
+        # harvest to build, EconomyRush.java:262-268's freeWorkers pop)
         if need_barracks:
-            builder_rank = jnp.int32(spec.n_harvesters)
+            builder_rank = jnp.int32(0 if all_harvest
+                                     else spec.n_harvesters)
             no_barracks = ~jnp.any(my_barracks)
             build = (idle & worker & (harv_rank == builder_rank)
                      & no_barracks & (balance >= COST[max(cfg.barracks_id, 0)])
@@ -178,10 +240,48 @@ def rush_bot(env: GridnetEnv, spec: RushSpec = RushSpec()):
             fighter_min_rank = spec.n_harvesters + 1
         else:
             fighter_min_rank = spec.n_harvesters
+        if all_harvest:
+            fighter_min_rank = 1 << 30   # harvesting workers never fight
+
+        # ---- expansion: a worker builds a second base next to the
+        # nearest "free" resource (BasicConfigurableScript.java:279-307:
+        # EXPAND choice, gated on a standing barracks and <= 1 base)
+        if spec.expand and cfg.base_id >= 0:
+            EXPAND_RADIUS = 8   # BASE_RESOURCE_RADIUS (:46)
+            far_res = resource & (d_base > EXPAND_RADIUS)
+            d_far = distance_field(far_res, passable, iters)
+            want_exp = (jnp.any(my_barracks) & (jnp.sum(my_base) <= 1)
+                        & jnp.any(far_res)
+                        & (balance >= COST[cfg.base_id]))
+            exp_rank = jnp.int32(0 if all_harvest else spec.n_harvesters)
+            expander = (idle & worker & (harv_rank == exp_rank)
+                        & want_exp & ~build_base)
+            adj_far = jnp.stack([K.pull(far_res, d, fill=False)
+                                 for d in range(4)], -1)
+            exp_build = expander & jnp.any(adj_far, -1) \
+                & jnp.any(free_n, -1)
+            out = _set(out, exp_build, PRODUCE, pdir=tdir,
+                       ptype=cfg.base_id)
+            mdir_x = descend_direction(d_far, free_n)
+            exp_walk = expander & ~exp_build & (mdir_x >= 0)
+            out = _set(out, exp_walk, MOVE, mdir=mdir_x)
 
         # ---- fighters: attack in range else move toward nearest enemy
         fighter = (idle & mine & lk_atk(t)
                    & (~worker | (harv_rank >= fighter_min_rank)))
+        # defense family standoff (WorkerDefense.java:117-143): engage only
+        # when the nearest enemy or the own base is within H*frac of the
+        # unit; otherwise stand ground (Java's attack(u, null) = idle).
+        # A unit's own cell is occupied (not passable), so the field is INF
+        # there — its true distance is 1 + the min over its 4 neighbors.
+        if spec.defense_frac > 0.0:
+            from ..engine.types import INF
+            d_en_here = jnp.min(jnp.stack(
+                [K.pull(d_enemy, d, fill=INF) for d in range(4)]), 0) + 1
+            d_ba_here = jnp.min(jnp.stack(
+                [K.pull(d_base, d, fill=INF) for d in range(4)]), 0) + 1
+            thresh = jnp.int32(H * spec.defense_frac)
+            fighter &= (d_en_here < thresh) | (d_ba_here < thresh)
         rng = lk_range(t)
         # nearest in-range enemy: scan the (2R+1)^2 disc, closest-first
         best = jnp.full((H, W), 0, jnp.int32)
@@ -249,6 +349,81 @@ def heavy_rush(env):   # HeavyRush.java
 
 def ranged_rush(env):  # RangedRush.java
     return rush_bot(env, RushSpec("Ranged"))
+
+
+# ---- defense family (ai/abstraction/{Worker,Light,Heavy,Ranged}Defense
+# .java): rush behavior + the H/2 engage standoff -------------------------
+def worker_defense(env):
+    return rush_bot(env, RushSpec("Worker", defense_frac=0.5))
+
+
+def light_defense(env):
+    return rush_bot(env, RushSpec("Light", defense_frac=0.5))
+
+
+def heavy_defense(env):
+    return rush_bot(env, RushSpec("Heavy", defense_frac=0.5))
+
+
+def ranged_defense(env):
+    return rush_bot(env, RushSpec("Ranged", defense_frac=0.5))
+
+
+# ---- economy family -----------------------------------------------------
+def worker_rush_plus_plus(env):
+    """WorkerRushPlusPlus.java: WorkerRush + base rebuild when lost."""
+    return rush_bot(env, RushSpec("Worker", rebuild_base=True))
+
+
+def economy_rush(env):
+    """EconomyRush.java:48-60: every worker harvests, the worker count is
+    capped (qtdWorkLim), a barracks goes up and trains the military ladder,
+    lost bases are rebuilt."""
+    return rush_bot(env, RushSpec("Mixed", n_harvesters=-1, max_workers=4,
+                                  rebuild_base=True))
+
+
+def economy_military_rush(env):
+    """EconomyMilitaryRush.java: economy ramp + affordability-ladder
+    military (:179-206)."""
+    return rush_bot(env, RushSpec("Mixed", n_harvesters=-1, max_workers=4,
+                                  rebuild_base=True))
+
+
+def emr_deterministico(env):
+    """EMRDeterministico.java: EconomyMilitaryRush with the deterministic
+    qtdWorkLim=4 (:153-160).  Our bots are deterministic throughout, so
+    this coincides with economy_military_rush by construction."""
+    return rush_bot(env, RushSpec("Mixed", n_harvesters=-1, max_workers=4,
+                                  rebuild_base=True))
+
+
+def economy_rush_burster(env):
+    """EconomyRushBurster.java: economy ramp, then military burst; Java
+    picks the trained type uniformly (:182), here the deterministic
+    affordability ladder stands in (documented approximation)."""
+    return rush_bot(env, RushSpec("Mixed", n_harvesters=-1, max_workers=6,
+                                  rebuild_base=True))
+
+
+def simple_economy_rush(env):
+    """SimpleEconomyRush.java: qtdWorkLim = 3 per base (:145)."""
+    return rush_bot(env, RushSpec("Mixed", n_harvesters=-1, max_workers=3,
+                                  rebuild_base=True))
+
+
+def crush_v1(env):
+    """CRush_V1.java (ai/abstraction/cRush): full-harvest economy into
+    ranged production with base rebuild (:383-415)."""
+    return rush_bot(env, RushSpec("Ranged", n_harvesters=-1, max_workers=5,
+                                  rebuild_base=True))
+
+
+def crush_v2(env):
+    """CRush_V2.java: lean worker line (nbases+1, :154) funding constant
+    ranged production; rebuilds lost bases."""
+    return rush_bot(env, RushSpec("Ranged", n_harvesters=2,
+                                  rebuild_base=True))
 
 
 def po_wrap(env: GridnetEnv, bot):

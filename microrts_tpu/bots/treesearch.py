@@ -112,11 +112,15 @@ def _advance(env: GridnetEnv, s: State, max_wait: int = 512):
     return s, done | (stuck & ~done) | done
 
 
-def _make_playout(env: GridnetEnv, playout_len: int, eval_fn, gamma: float):
-    """playout-with-RandomBiasedAI + eval, from any (possibly mid-tick)
-    state; returns the evaluation from ``player``'s perspective discounted
-    by 0.99^(Δt/10) from ``t0`` (NaiveMCTS.iteration:200-206)."""
-    rollout = random_bot(env, 5.0)
+def _make_playout(env: GridnetEnv, playout_len: int, eval_fn, gamma: float,
+                  rollout_bot=None):
+    """playout + eval from any (possibly mid-tick) state; returns the
+    evaluation from ``player``'s perspective discounted by 0.99^(Δt/10)
+    from ``t0`` (NaiveMCTS.iteration:200-206).  Default rollout policy is
+    the RandomBiasedAI analog; ABCD passes WorkerRush (ABCD.java:50-52).
+    ``gamma=1.0`` disables discounting; ``playout_len=0`` evaluates the
+    state directly (the minimax leaf)."""
+    rollout = rollout_bot if rollout_bot is not None else random_bot(env, 5.0)
 
     def playout(s: State, player, t0, key):
         def body(carry, _):

@@ -92,6 +92,33 @@ JAVA_AI_ALIASES = {
     "ai.mcts.naivemcts.NaiveMCTS": "NaiveMCTS",
     "ai.mcts.uct.UCT": "UCT",
     "ai.mcts.uct.DownsamplingUCT": "DownsamplingUCT",
+    "ai.montecarlo.lsi.LSI": "LSI",
+    "ai.puppet.PuppetSearchAB": "PuppetSearchAB",
+    "ai.puppet.PuppetSearchMCTS": "PuppetSearchMCTS",
+    "ai.puppet.PuppetNoPlan": "PuppetNoPlan",
+    "ai.scv.SCV": "SCV",
+    "ai.ahtn.AHTNAI": "AHTN",
+    "ai.mcts.believestatemcts.BS1_NaiveMCTS": "BS1_NaiveMCTS",
+    "ai.mcts.believestatemcts.BS2_NaiveMCTS": "BS2_NaiveMCTS",
+    "ai.mcts.believestatemcts.BS3_NaiveMCTS": "BS3_NaiveMCTS",
+    "ai.minimax.ABCD.ABCD": "ABCD",
+    "ai.minimax.ABCD.IDABCD": "IDABCD",
+    "ai.minimax.RTMiniMax.RTMinimax": "RTMinimax",
+    "ai.minimax.RTMiniMax.IDRTMinimax": "IDRTMinimax",
+    "ai.portfolio.PortfolioAI": "PortfolioAI",
+    "ai.portfolio.portfoliogreedysearch.PGSAI": "PGSAI",
+    "ai.abstraction.WorkerDefense": "WorkerDefense",
+    "ai.abstraction.LightDefense": "LightDefense",
+    "ai.abstraction.HeavyDefense": "HeavyDefense",
+    "ai.abstraction.RangedDefense": "RangedDefense",
+    "ai.abstraction.WorkerRushPlusPlus": "WorkerRushPlusPlus",
+    "ai.abstraction.EconomyRush": "EconomyRush",
+    "ai.abstraction.EconomyMilitaryRush": "EconomyMilitaryRush",
+    "ai.abstraction.EMRDeterministico": "EMRDeterministico",
+    "ai.abstraction.EconomyRushBurster": "EconomyRushBurster",
+    "ai.abstraction.SimpleEconomyRush": "SimpleEconomyRush",
+    "ai.abstraction.cRush.CRush_V1": "CRush_V1",
+    "ai.abstraction.cRush.CRush_V2": "CRush_V2",
 }
 
 
@@ -112,17 +139,56 @@ def make_bot(name: str, env) -> "callable":
         "POLightRush": lambda: S.po_light_rush(env),
         "POHeavyRush": lambda: S.po_heavy_rush(env),
         "PORangedRush": lambda: S.po_ranged_rush(env),
+        "WorkerDefense": lambda: S.worker_defense(env),
+        "LightDefense": lambda: S.light_defense(env),
+        "HeavyDefense": lambda: S.heavy_defense(env),
+        "RangedDefense": lambda: S.ranged_defense(env),
+        "WorkerRushPlusPlus": lambda: S.worker_rush_plus_plus(env),
+        "EconomyRush": lambda: S.economy_rush(env),
+        "EconomyMilitaryRush": lambda: S.economy_military_rush(env),
+        "EMRDeterministico": lambda: S.emr_deterministico(env),
+        "EconomyRushBurster": lambda: S.economy_rush_burster(env),
+        "SimpleEconomyRush": lambda: S.simple_economy_rush(env),
+        "CRush_V1": lambda: S.crush_v1(env),
+        "CRush_V2": lambda: S.crush_v2(env),
     }
 
     def _search():
+        from .bots import believestate as BS
+        from .bots import lsi as LS
+        from .bots import minimax as MM
+        from .bots import portfolio as PF
         from .bots import search as SE
         from .bots import treesearch as TS
+        from .bots import puppet as PU
+        from .bots import scv as SV
+        from .bots import ahtn as AH
         return {
+            "SCV": lambda: SV.scv_bot(env),
+            "AHTN": lambda: AH.ahtn_bot(env),
+            "LSI": lambda: LS.lsi_bot(env),
+            "PuppetNoPlan": lambda: PU.puppet_ab_bot(env),
+            "PuppetSearchMCTS": lambda: PU.puppet_mcts_bot(env),
+            # stateful plan-holding variant (StatefulBot protocol)
+            "PuppetSearchAB": lambda: PU.puppet_plan_bot(env),
+            # stateful believe-state bots (StatefulBot protocol)
+            "BS1_NaiveMCTS": lambda: BS.believe_state_bot(
+                env, TS.naive_mcts_bot(env), level=1),
+            "BS2_NaiveMCTS": lambda: BS.believe_state_bot(
+                env, TS.naive_mcts_bot(env), level=2),
+            "BS3_NaiveMCTS": lambda: BS.believe_state_bot(
+                env, TS.naive_mcts_bot(env), level=3),
+            "PortfolioAI": lambda: PF.portfolio_ai_bot(env),
+            "PGSAI": lambda: PF.pgs_bot(env),
             "MonteCarlo": lambda: SE.monte_carlo_bot(env),
             "NaiveMCTS": lambda: TS.naive_mcts_bot(env),
             "UCT": lambda: TS.uct_tree_bot(env),
             "DownsamplingUCT": lambda: TS.uct_tree_bot(env,
                                                        n_candidates=4),
+            "ABCD": lambda: MM.abcd_bot(env),
+            "IDABCD": lambda: MM.id_abcd_bot(env),
+            "RTMinimax": lambda: MM.rt_minimax_bot(env),
+            "IDRTMinimax": lambda: MM.idrt_minimax_bot(env),
         }
     registry.update(_search())
     if name not in registry:

@@ -20,10 +20,11 @@ fixed-shape, so searches built on it (``bots/minimax.py``) jit and vmap.
 Documented divergences from the Java generator (order only, not the set):
 
 * unit order is row-major cell order (Java: ``PhysicalGameState.getUnits()``
-  insertion order); arm order per unit is catalog order (Java:
-  ``Unit.getUnitActions`` emission order).  The enumerated SET of consistent
-  joint actions is identical; tests/test_enumerate.py proves it by
-  differential set-compare against the refimpl spec.
+  insertion order); arm order per unit is catalog order with NONE last
+  (Java: ``Unit.getUnitActions`` emission order, which also ends in NONE).
+  The enumerated SET of consistent joint actions is identical;
+  tests/test_enumerate.py proves it by differential set-compare against
+  the refimpl spec.
 * Java raises when no unit can act; here the empty joint action is emitted
   once (callers gate on ``canExecuteAnyAction`` exactly like the reference).
 """
@@ -118,9 +119,17 @@ def make_enumerator(env):
                         more=jnp.bool_(True)), ctx
 
     def _arms_of(ctx: EnumCtx, choice: jax.Array) -> jax.Array:
-        """k-th legal arm per cell (k = digit), -1 for non-acting cells."""
-        kth = (jnp.cumsum(ctx.la, axis=-1) - 1 == choice[:, None]) & ctx.la
-        arm = jnp.argmax(kth, axis=-1).astype(jnp.int32)
+        """k-th legal arm per cell (k = digit), -1 for non-acting cells.
+
+        Per-unit arm order = catalog order with NONE demoted to LAST,
+        mirroring Unit.getUnitActions always appending NONE at the end
+        (Unit.java:516-521) — under a search budget cutoff this explores
+        real moves before the all-idle subtrees, like the Java generator.
+        """
+        la_rot = jnp.concatenate([ctx.la[:, 1:], ctx.la[:, :1]], axis=-1)
+        kth = (jnp.cumsum(la_rot, axis=-1) - 1 == choice[:, None]) & la_rot
+        idx_rot = jnp.argmax(kth, axis=-1).astype(jnp.int32)
+        arm = jnp.where(idx_rot == A - 1, 0, idx_rot + 1)
         return jnp.where(ctx.acting, arm, -1)
 
     def _consistency(ctx: EnumCtx, arms: jax.Array):
