@@ -149,7 +149,12 @@ class AIServer:
                         self.wfile.write(b"ack\n")
                     elif line == "utt":
                         utt_line = self.rfile.readline().decode().strip()
-                        utt = UnitTypeTable.from_json(utt_line)
+                        if utt_line.startswith("<"):
+                            import xml.etree.ElementTree as ET
+                            utt = UnitTypeTable.from_xml(
+                                ET.fromstring(utt_line))
+                        else:
+                            utt = UnitTypeTable.from_json(utt_line)
                         self.wfile.write(b"ack\n")
                     elif line.startswith("getAction"):
                         player = int(line.split()[1])
@@ -216,20 +221,30 @@ class RemoteBot:
     the SocketAI line protocol (the reference's SERVER/CLIENT launch modes,
     rts/MicroRTS.java:62-81 / RemoteGame.java:23-43).  Wraps the remote
     agent as a host-side bot usable in the CLI game loop — each getAction
-    ships the GameState as JSON and parses the returned PlayerAction."""
+    ships the GameState as JSON (``communication_language=1``, the RL
+    default) or XML (``wire="xml"``, SocketAI.LANGUAGE_XML:29-56) and
+    parses the returned PlayerAction in the matching format."""
 
     def __init__(self, env, host: str = "127.0.0.1", port: int = 9898,
-                 time_budget: int = 100, iter_budget: int = 0):
+                 time_budget: int = 100, iter_budget: int = 0,
+                 wire: str = "json"):
         import socket as _socket
 
+        assert wire in ("json", "xml")
         self.env = env
+        self.wire = wire
         self._sock = _socket.create_connection((host, port), timeout=60)
         self._f = self._sock.makefile("rwb")
         # consume welcome line(s), send budget + utt (SocketAI.reset :130-166)
         self._f.readline()
         self._send(f"budget {time_budget} {iter_budget}\n")
         self._f.readline()
-        self._send("utt\n" + env.utt.to_json() + "\n")
+        if wire == "xml":
+            from .serialize import utt_to_xml
+            self._send("utt\n"
+                       + utt_to_xml(env.utt).replace("\n", "") + "\n")
+        else:
+            self._send("utt\n" + env.utt.to_json() + "\n")
         self._f.readline()
 
     def _send(self, text: str):
@@ -247,22 +262,28 @@ class RemoteBot:
         utt = self.env.utt
         pgs = state_to_pgs(state, utt)
         units = {u.ID: u for u in pgs.units}
-        o = {"time": int(state.time),
-             "pgs": {
-                 "width": pgs.width, "height": pgs.height,
-                 "terrain": "".join(str(int(t)) for t in pgs.terrain),
-                 "players": [{"ID": p.ID, "resources": p.resources}
-                             for p in pgs.players],
-                 "units": [{"type": utt.unit_types[u.type_id].name,
-                            "ID": u.ID, "player": u.player, "x": u.x,
-                            "y": u.y, "resources": u.resources,
-                            "hitpoints": u.hitpoints}
-                           for u in pgs.units]},
-             "actions": [{"ID": uid, "time": at,
-                          "action": _ad_json(a, utt)}
-                         for uid, at, _o, a in state_assignments(state)]}
-        self._send(f"getAction {int(player)}\n" + json.dumps(o) + "\n")
-        reply = json.loads(self._f.readline().decode())
+        if self.wire == "xml":
+            from .serialize import state_to_xml
+            self._send(f"getAction {int(player)}\n"
+                       + state_to_xml(state, utt).replace("\n", "") + "\n")
+            reply = _actions_from_xml(self._f.readline().decode(), utt)
+        else:
+            o = {"time": int(state.time),
+                 "pgs": {
+                     "width": pgs.width, "height": pgs.height,
+                     "terrain": "".join(str(int(t)) for t in pgs.terrain),
+                     "players": [{"ID": p.ID, "resources": p.resources}
+                                 for p in pgs.players],
+                     "units": [{"type": utt.unit_types[u.type_id].name,
+                                "ID": u.ID, "player": u.player, "x": u.x,
+                                "y": u.y, "resources": u.resources,
+                                "hitpoints": u.hitpoints}
+                               for u in pgs.units]},
+                 "actions": [{"ID": uid, "time": at,
+                              "action": _ad_json(a, utt)}
+                             for uid, at, _o, a in state_assignments(state)]}
+            self._send(f"getAction {int(player)}\n" + json.dumps(o) + "\n")
+            reply = json.loads(self._f.readline().decode())
         H, W = self.env.h, self.env.w
         out = np.zeros((H, W, 7), np.int32)
         D = 2 * self.env.cfg.engine.max_range + 1
@@ -294,6 +315,33 @@ class RemoteBot:
 
     def close(self):
         self._sock.close()
+
+
+def _actions_from_xml(text: str, utt: UnitTypeTable):
+    """Parse an ``<actions><action unitID=..><UnitAction ../>..`` reply
+    into the same dict rows the JSON path yields (XMLSocketWrapperAI /
+    SocketAI LANGUAGE_XML :29-56)."""
+    import xml.etree.ElementTree as ET
+
+    out = []
+    if not text.strip():
+        return out
+    root = ET.fromstring(text)
+    for a_e in root:
+        ua_e = a_e.find("UnitAction")
+        if ua_e is None:
+            continue
+        ua = {"type": int(ua_e.get("type", 0))}
+        if ua_e.get("parameter") is not None:
+            ua["parameter"] = int(ua_e.get("parameter"))
+        if ua_e.get("x") is not None:
+            ua["x"] = int(ua_e.get("x"))
+            ua["y"] = int(ua_e.get("y"))
+        if ua_e.get("unitType") is not None:
+            ua["unitType"] = ua_e.get("unitType")
+        out.append({"unitID": int(a_e.get("unitID", -1)),
+                    "unitAction": ua})
+    return out
 
 
 def _ad_json(a: dict, utt: UnitTypeTable) -> dict:

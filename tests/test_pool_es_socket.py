@@ -112,3 +112,35 @@ def test_socket_ai_server():
     assert {"unitID", "unitAction"} <= set(reply[0])
     sock.close()
     srv.shutdown()
+
+
+def test_remote_bot_xml_roundtrip():
+    """Full XML wire loop (SocketAI.LANGUAGE_XML / XMLSocketWrapperAI
+    parity, VERDICT r1 missing #7): RemoteBot(wire="xml") ships the
+    GameState as XML, the server answers XML actions, and the decoded
+    tensor equals the wrapped bot's own move."""
+    import jax
+    import numpy as np
+
+    from microrts_tpu.bots.scripted import worker_rush
+    from microrts_tpu.interop.socket_ai import AIServer, RemoteBot
+
+    def make_bot(utt, h, w):
+        env = GridnetEnv.from_dims(utt, h, w)
+        return env, worker_rush(env)
+
+    srv = AIServer(make_bot, port=19902)
+    srv.start_background()
+    time.sleep(0.3)
+    utt = UnitTypeTable(2)
+    env = GridnetEnv(f"{MAPS}/8x8/basesWorkers8x8.xml", utt)
+    remote = RemoteBot(env, port=19902, wire="xml")
+    s = env.reset(jax.random.PRNGKey(0))
+    a_remote = np.asarray(remote(s, 0))
+    a_local = np.asarray(worker_rush(env)(s, 0, jax.random.PRNGKey(0)))
+    # the wire carries only REAL unit actions; NONE rows stay zero both ways
+    real = a_local[..., 0] > 0
+    np.testing.assert_array_equal(a_remote[real], a_local[real])
+    assert (a_remote[~real] == 0).all()
+    remote.close()
+    srv.shutdown()
