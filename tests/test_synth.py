@@ -1,0 +1,102 @@
+"""Synthesis DSL: interpreter semantics, legality, and the search loop.
+
+Mirrors the reference's DSL behavior contracts (ai/synthesis/
+dslForScriptGenerator): commands claim units in order, If-guards gate
+bodies, and the seed script plays a competent worker rush.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microrts_tpu.bots.scripted import passive_bot, random_bot
+from microrts_tpu.env.gridnet import GridnetEnv
+from microrts_tpu.synth.dsl import (SEED_PROGRAM, Attack, Harvest, Idle,
+                                    If, NAllyOfType, Train,
+                                    compile_program)
+from microrts_tpu.synth.search import (evaluate_population, mutate,
+                                       random_program, synthesize)
+from microrts_tpu.utils.assets import asset_path
+
+
+@pytest.fixture(scope="module")
+def env8():
+    return GridnetEnv(asset_path("maps/8x8/basesWorkers8x8.xml"))
+
+
+def _legal(env, s, a, player):
+    cand = env.decode(s, a, player, env._inflight_claims(s),
+                      env._inflight_spent(s, player))[0]
+    legal = np.asarray(env.engine.validate(s, cand))
+    real = np.asarray(cand.atype) > 0
+    return legal[real].all()
+
+
+def test_seed_program_plays_legally_and_wins(env8):
+    env = env8
+    bot = compile_program(env, SEED_PROGRAM)
+    s = env.reset(jax.random.PRNGKey(0))
+    assert _legal(env, s, bot(s, 0, jax.random.PRNGKey(1)), 0)
+    step = jax.jit(lambda s, k: env.step(
+        s, bot(s, 0, k), passive_bot(env)(s, 1, k)))
+    k = jax.random.PRNGKey(2)
+    for i in range(900):
+        k, sub = jax.random.split(k)
+        s, _, done = step(s, sub)
+        if bool(done):
+            break
+    assert int(env.engine.winner(s)) == 0
+
+
+def test_commands_claim_in_order(env8):
+    """An earlier Idle command freezes the units a later Attack would
+    otherwise move (the currentPlayerAction accretion contract)."""
+    env = env8
+    prog_idle_first = (Idle("Worker"), Attack("All", "Closest"))
+    prog_attack_only = (Attack("All", "Closest"),)
+    s = env.reset(jax.random.PRNGKey(3))
+    k = jax.random.PRNGKey(4)
+    a1 = np.asarray(compile_program(env, prog_idle_first)(s, 0, k))
+    a2 = np.asarray(compile_program(env, prog_attack_only)(s, 0, k))
+    workers = (np.asarray(s.utype) == env.cfg.worker_id + 1) \
+        & (np.asarray(s.owner) == 0)
+    assert (a1[workers][:, 0] == 0).all(), "claimed workers must idle"
+    assert (a2[workers][:, 0] != 0).any(), "unclaimed workers act"
+
+
+def test_if_guard_gates_body(env8):
+    """If(NAllyOfType(Worker, >= 99)) can never fire at reset."""
+    env = env8
+    prog = (If(NAllyOfType("Worker", 99), (Attack("All", "Closest"),)),)
+    s = env.reset(jax.random.PRNGKey(5))
+    a = np.asarray(compile_program(env, prog)(s, 0, jax.random.PRNGKey(6)))
+    assert (a == 0).all()
+    prog2 = (If(NAllyOfType("Worker", 1), (Attack("All", "Closest"),)),)
+    a2 = np.asarray(compile_program(env, prog2)(
+        s, 0, jax.random.PRNGKey(6)))
+    assert (a2 != 0).any()
+
+
+def test_random_programs_compile_and_are_legal(env8):
+    import random as pyrandom
+    env = env8
+    rng = pyrandom.Random(7)
+    s = env.reset(jax.random.PRNGKey(8))
+    for i in range(3):
+        prog = random_program(rng)
+        prog = mutate(prog, rng)
+        bot = compile_program(env, prog)
+        a = bot(s, 0, jax.random.PRNGKey(9 + i))
+        assert _legal(env, s, a, 0), prog
+
+
+def test_synthesis_improves_or_holds_fitness(env8):
+    env = env8
+    opponents = [random_bot(env, 5.0)]
+    res = synthesize(env, opponents, generations=2, population=2,
+                     games_per_pair=1, max_cycles=200, seed=11)
+    assert 0.0 <= res.fitness <= 1.0
+    # monotone best-so-far by construction
+    fs = [f for _, f in res.history]
+    assert fs == sorted(fs)
