@@ -40,32 +40,65 @@ def random_bot(env: GridnetEnv, bias: float = 1.0):
     """RandomAI (bias=1) / RandomBiasedAI (bias=5: attack, harvest and
     return weighted 5x, RandomBiasedAI.java:25-60).  Samples one legal
     action per unit from the env masks; cumulative consistency is enforced
-    downstream by the decode, like PlayerActionGenerator.getRandom."""
+    downstream by the decode, like PlayerActionGenerator.getRandom.
+
+    Sampling is TWO uniforms per cell + unrolled integer k-th-legal-bit
+    selection (no per-arm gumbel planes, no log/exp): the weighted type
+    draw is a 6-entry threshold walk, the param draw is uniform over the
+    chosen class's legal set.  Identical distribution to masked
+    categoricals at ~1/50th the RNG traffic — this bot is the playout
+    policy inside every search bot and the bench actor, so it IS the hot
+    path."""
     H, W = env.h, env.w
     T = env.cfg.engine.num_types
     D = 2 * env.cfg.engine.max_range + 1
+    tw = (1.0, 1.0, bias, bias, 1.0, bias)
+
+    def kth_legal(L, j):
+        """Index of the (j+1)-th True along the last axis of bool
+        L [H, W, K] (j int32 [H, W]); 0 when out of range."""
+        K = L.shape[-1]
+        cnt = jnp.zeros(L.shape[:-1], jnp.int32)
+        idx = jnp.zeros(L.shape[:-1], jnp.int32)
+        for k in range(K):
+            hit = L[..., k] & (cnt == j)
+            idx = jnp.where(hit, k, idx)
+            cnt = cnt + L[..., k]
+        return idx
 
     def bot(state: State, player, key):
         m = env.engine.legal_masks(state, player)
-        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
-        tw = jnp.asarray([1.0, 1.0, bias, bias, 1.0, bias])
+        u = jax.random.uniform(key, (H, W, 2))
+        tm = m["type"].astype(bool)
 
-        def cat(key, logits_mask, weights=None):
-            w = jnp.where(logits_mask, 1.0 if weights is None else weights,
-                          0.0)
-            w = jnp.where(jnp.any(logits_mask, -1, keepdims=True),
-                          w, jnp.ones_like(w))
-            return jax.random.categorical(key, jnp.log(w + 1e-9), axis=-1)
+        # weighted type draw: threshold walk over the 6 classes
+        w = [jnp.where(tm[..., i], tw[i], 0.0) for i in range(6)]
+        tot = sum(w)
+        x = u[..., 0] * tot
+        acc = jnp.zeros((H, W))
+        at = jnp.zeros((H, W), jnp.int32)
+        chosen = jnp.zeros((H, W), bool)
+        for i in range(6):
+            acc = acc + w[i]
+            hit = ~chosen & (x < acc)
+            at = jnp.where(hit, i, at)
+            chosen = chosen | hit
 
-        at = cat(k1, m["type"].astype(bool), tw)
-        mv = cat(k2, m["move"].astype(bool))
-        hv = cat(k3, m["harvest"].astype(bool))
-        rt = cat(k4, m["ret"].astype(bool))
-        # produce: joint (dir, type) then split
-        pp = m["produce_pair"].reshape(H, W, -1).astype(bool)
-        pj = cat(k5, pp)
+        # uniform param draw within the chosen class (one shared uniform;
+        # only the chosen class's pick is ever read)
+        def pick(L):
+            L = L.astype(bool)
+            n = jnp.sum(L, -1)
+            j = jnp.minimum((u[..., 1] * n).astype(jnp.int32),
+                            jnp.maximum(n - 1, 0))
+            return kth_legal(L, j)
+
+        mv = pick(m["move"])
+        hv = pick(m["harvest"])
+        rt = pick(m["ret"])
+        pj = pick(m["produce_pair"].reshape(H, W, -1))
         pd, pt = pj // T, pj % T
-        ak = cat(k6, m["attack"].astype(bool))
+        ak = pick(m["attack"])
         out = jnp.stack([at, mv, hv, rt, pd, pt, ak], axis=-1)
         return jnp.where(m["can_act"][..., None], out, 0).astype(jnp.int32)
 

@@ -212,39 +212,53 @@ class GridnetEnv:
                             rank_f, INF)
             mrank = mrank.at[s:s + HW].min(seg)
 
-        # sequential budget scan over produce candidates in rank order
+        # sequential budget resolution over produce candidates in rank
+        # order.  The candidates are GATHERED into compact [Kp] vectors
+        # once, then the order-sensitive keep/drop recurrence unrolls over
+        # Kp with [Kp]-wide ops — no per-trip scatters into the [L] claim
+        # buffer (a lax.scan with .at[x].set bodies was ~60% of the whole
+        # live env step on the TPU profile).
         Kp = self.cfg.max_produce_scan
         is_prod_f = is_prod.reshape(-1)
         prod_key = jnp.where(is_prod_f, rank_f, INF)
-        # lowest-Kp ranks via top_k (full argsort is slower on TPU)
-        _, order = jax.lax.top_k(-prod_key, Kp)
         balance = jnp.where(me == 1, state.resources[1],
                             state.resources[0])
         iflat = jnp.arange(HW, dtype=jnp.int32)
         slot_f = W + iflat + make_lookup(OFF)(dparam_f)
         pcost_f = pcost.reshape(-1)
+        # every per-candidate attribute is read at its OWN cell densely
+        # (no gathers: jnp.take from [HW] planes serialized at ~10 ms per
+        # op on the TPU profile), then ONE multi-operand sort co-sorts
+        # the attribute rows by rank; the first Kp entries are the scan
+        # window as a static slice.
+        m_at_slot = jnp.zeros(HW, jnp.int32)
+        for d in range(4):
+            m_at_slot = jnp.where(dparam_f == d, read_slot(mrank, d),
+                                  m_at_slot)
+        sk, sc, sx, sm = jax.lax.sort(
+            (prod_key, pcost_f, slot_f, m_at_slot), num_keys=1)
+        r_k, c_k, x_k, m_k = sk[:Kp], sc[:Kp], sx[:Kp], sm[:Kp]
+        pos_base = (r_k < INF) & (r_k < m_k)
+        same = x_k[None, :] == x_k[:, None]             # [Kp, Kp]
 
-        def scan_body(carry, cell):
-            spent, claimed_by_prod, kept = carry
-            r = prod_key[cell]
-            valid = r < INF
-            c = pcost_f[cell]
-            x = slot_f[cell]
-            pos_ok = (r < mrank[x]) & ~claimed_by_prod[x]
+        spent = spent0
+        blocked = jnp.zeros(Kp, bool)   # slot claimed by an earlier keep
+        kept_rows = []
+        for i in range(Kp):
             # ResourceUsage.consistentWith zero-skip (:31-50): the first
             # produce is never budget-dropped when nothing is accumulated
-            res_ok = (spent == 0) | (spent + c <= balance)
-            keep = valid & pos_ok & res_ok
-            spent = spent + jnp.where(keep, c, 0)
-            claimed_by_prod = claimed_by_prod.at[x].set(
-                claimed_by_prod[x] | keep)
-            kept = kept.at[cell].set(keep)
-            return (spent, claimed_by_prod, kept), None
-
-        (spent1, claimed_by_prod, prod_kept_f), _ = jax.lax.scan(
-            scan_body,
-            (spent0, jnp.zeros(L, bool), jnp.zeros(HW, bool)),
-            order)
+            res_ok = (spent == 0) | (spent + c_k[i] <= balance)
+            keep_i = pos_base[i] & ~blocked[i] & res_ok
+            blocked = blocked | (keep_i & same[i])
+            spent = spent + jnp.where(keep_i, c_k[i], 0)
+            kept_rows.append(keep_i)
+        spent1 = spent
+        # expand kept flags back to the flat plane by RANK identity
+        # (ranks are unique per candidate; dense compares, no scatter)
+        prod_kept_f = jnp.zeros(HW, bool)
+        for i in range(Kp):
+            kept_rank_i = jnp.where(kept_rows[i], r_k[i], -1)
+            prod_kept_f = prod_kept_f | (rank_f == kept_rank_i)
         prod_kept = prod_kept_f.reshape(H, W) & is_prod
         # produce candidates beyond the scan window are dropped (NONE(1) pad)
         prank = jnp.full(L, INF, jnp.int32)
