@@ -220,7 +220,6 @@ class GridnetEnv:
         # live env step on the TPU profile).
         Kp = self.cfg.max_produce_scan
         is_prod_f = is_prod.reshape(-1)
-        prod_key = jnp.where(is_prod_f, rank_f, INF)
         balance = jnp.where(me == 1, state.resources[1],
                             state.resources[0])
         iflat = jnp.arange(HW, dtype=jnp.int32)
@@ -228,37 +227,61 @@ class GridnetEnv:
         pcost_f = pcost.reshape(-1)
         # every per-candidate attribute is read at its OWN cell densely
         # (no gathers: jnp.take from [HW] planes serialized at ~10 ms per
-        # op on the TPU profile), then ONE multi-operand sort co-sorts
-        # the attribute rows by rank; the first Kp entries are the scan
-        # window as a static slice.
+        # op on the TPU profile), the move-conflict (pos) check is applied
+        # HERE (a produce losing to a lower-rank move claim is skipped by
+        # Java's cumulative check without consuming budget or a scan slot),
+        # and (rank, cost, slot) are packed into ONE i32 key; the Kp
+        # lowest-rank candidates are then drawn by iterative min-extraction
+        # (keys are unique and extracted in increasing order, so each round
+        # is a single fused mask+min-reduce — measured ~4x cheaper than the
+        # [HW]-wide multi-operand lax.sort it replaces).
         m_at_slot = jnp.zeros(HW, jnp.int32)
         for d in range(4):
             m_at_slot = jnp.where(dparam_f == d, read_slot(mrank, d),
                                   m_at_slot)
-        sk, sc, sx, sm = jax.lax.sort(
-            (prod_key, pcost_f, slot_f, m_at_slot), num_keys=1)
-        r_k, c_k, x_k, m_k = sk[:Kp], sc[:Kp], sx[:Kp], sm[:Kp]
-        pos_base = (r_k < INF) & (r_k < m_k)
-        same = x_k[None, :] == x_k[:, None]             # [Kp, Kp]
+        pos_ok = is_prod_f & (rank_f < m_at_slot)
+        rb = max(1, (HW - 1).bit_length())
+        cb = max(1, max(cfg.cost).bit_length())
+        sb = (L - 1).bit_length()
+        IMAX = jnp.iinfo(jnp.int32).max
+        if rb + cb + sb <= 30:
+            packed = (rank_f << (cb + sb)) | (pcost_f << sb) | slot_f
+            key_p = jnp.where(pos_ok, packed, IMAX)
+            prev = jnp.int32(-1)
+            r_k, c_k, x_k, valid = [], [], [], []
+            for _ in range(Kp):
+                m = jnp.min(jnp.where(key_p > prev, key_p, IMAX))
+                prev = m
+                valid.append(m < IMAX)
+                x_k.append(m & ((1 << sb) - 1))
+                c_k.append((m >> sb) & ((1 << cb) - 1))
+                r_k.append(m >> (cb + sb))
+        else:
+            # maps too large to pack: one multi-operand sort instead
+            key_w = jnp.where(pos_ok, rank_f, INF)
+            sk, sc, sx = jax.lax.sort((key_w, pcost_f, slot_f), num_keys=1)
+            valid = [sk[i] < INF for i in range(Kp)]
+            r_k = [sk[i] for i in range(Kp)]
+            c_k = [sc[i] for i in range(Kp)]
+            x_k = [sx[i] for i in range(Kp)]
 
         spent = spent0
-        blocked = jnp.zeros(Kp, bool)   # slot claimed by an earlier keep
-        kept_rows = []
+        kept, prod_kept_f = [], jnp.zeros(HW, bool)
         for i in range(Kp):
+            blocked = valid[0] & ~valid[0]
+            for j in range(i):
+                blocked = blocked | (kept[j] & (x_k[j] == x_k[i]))
             # ResourceUsage.consistentWith zero-skip (:31-50): the first
             # produce is never budget-dropped when nothing is accumulated
             res_ok = (spent == 0) | (spent + c_k[i] <= balance)
-            keep_i = pos_base[i] & ~blocked[i] & res_ok
-            blocked = blocked | (keep_i & same[i])
+            keep_i = valid[i] & ~blocked & res_ok
             spent = spent + jnp.where(keep_i, c_k[i], 0)
-            kept_rows.append(keep_i)
+            kept.append(keep_i)
+            # expand back to the flat plane by RANK identity (ranks are
+            # unique per candidate; dense compares, no scatter)
+            prod_kept_f = prod_kept_f | (
+                rank_f == jnp.where(keep_i, r_k[i], -1))
         spent1 = spent
-        # expand kept flags back to the flat plane by RANK identity
-        # (ranks are unique per candidate; dense compares, no scatter)
-        prod_kept_f = jnp.zeros(HW, bool)
-        for i in range(Kp):
-            kept_rank_i = jnp.where(kept_rows[i], r_k[i], -1)
-            prod_kept_f = prod_kept_f | (rank_f == kept_rank_i)
         prod_kept = prod_kept_f.reshape(H, W) & is_prod
         # produce candidates beyond the scan window are dropped (NONE(1) pad)
         prank = jnp.full(L, INF, jnp.int32)
