@@ -48,8 +48,13 @@ def _make_run(env, vec, num_envs, scan_len, actor):
         st, sp, key = carry
         key, k0, k1 = jax.random.split(key, 3)
         a0, a1 = actor(st, k0, k1)
-        st, sp, _obs, rew, _dn, _rm = vec.step(st, sp, a0, a1)
-        return (st, sp, key), rew[0, 0, 0]
+        st, sp, obs, rew, dn, _rm = vec.step(st, sp, a0, a1)
+        # consume EVERY output (sum, not a single element) so XLA cannot
+        # dead-code-eliminate the observation or any reward component —
+        # the measured step is the full RL step a learner would pay for
+        live = (rew.sum() + obs.sum().astype(jnp.float32)
+                + dn.sum().astype(jnp.float32))
+        return (st, sp, key), live
 
     @jax.jit
     def run(states, steps, key):

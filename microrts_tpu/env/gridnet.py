@@ -399,13 +399,20 @@ class GridnetEnv:
 
     def step_vs(self, state: State, a0: jax.Array, bot_fn):
         """Step with an external player-0 action and an on-device scripted
-        opponent (JNIGridnetClient.gameStep semantics)."""
+        opponent (JNIGridnetClient.gameStep semantics).  ``bot_fn(state,
+        player)`` returns a gridnet [H, W, 7] tensor (the standard bot
+        contract); it is decoded against the post-issue state so the
+        opponent sees player 0's same-tick claims, like the sequential
+        getAction calls in the Java client loop."""
         pre = state
         claimed = self._inflight_claims(state)
         c0, claimed, _ = self.decode(state, a0, 0, claimed,
                                      self._inflight_spent(state, 0))
         state1 = self.engine.issue(state, c0)
-        c1 = bot_fn(state1, 1)
+        a1 = bot_fn(state1, 1)
+        c1, _, _ = self.decode(state1, a1, 1,
+                               self._inflight_claims(state1),
+                               self._inflight_spent(state1, 1))
         state1 = self.engine.issue(state1, c1)
         state1, done = self.engine.cycle(state1)
         r0 = self._rewards(pre, c0, 0, state1)

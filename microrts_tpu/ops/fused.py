@@ -1,29 +1,29 @@
 """Pallas-fused engine steps: the whole tick as one TPU kernel.
 
 The jitted plane-op engine materializes ~10^2 intermediate [B, H, W] arrays
-per tick through HBM; at 16x16 each op runs far below HBM peak, so per-op
-overhead dominates.  This wrapper runs the SAME engine math (the pure
-functions from engine/kernel.py, vmapped inside the kernel body) over a
-block of envs resident in VMEM — one pallas_call per phase instead of ~100
-XLA ops, with a single HBM read+write of the state.
+per tick through HBM; each fusion is bandwidth-bound, so the tick's cost is
+(number of materializations) x (bytes per plane).  These kernels run the
+SAME engine math (the pure functions from engine/kernel.py, vmapped inside
+the kernel body) over a block of envs resident in VMEM — one pallas_call
+per phase instead of ~100 XLA fusions, with a single HBM read+write of the
+state.
+
+Layout: batch-MINOR.  Mosaic tiles the two minor dims of every ref as
+(8, 128); a [block, H, W] ref therefore pads W up to 128 lanes (8x VMEM
+waste and 1/8 lane utilization at W=16) and blows the 16 MB scoped-VMEM
+stack for any useful block size.  With refs shaped [H, W, block] /
+[k, block] instead, lanes carry the env batch (full utilization, no
+padding), H/W shifts are cheap major-dim pad/slices, and the engine math
+is vmapped over the LAST axis (``in_axes=-1``).  XLA's own fusions pick
+exactly this layout for the unfused path (``{0,2,1:T(8,128)}`` on
+[B, 16, 16] operands — batch minor), so the boundary ``moveaxis`` is a
+relayout XLA can elide or do at line speed.
 
 Exactness: the kernel body traces the identical jnp computation, so fused
-and unfused paths agree bit-for-bit (asserted by tests/test_fused.py, which
-runs the kernels in interpreter mode).
+and unfused paths agree bit-for-bit (asserted by tests/test_fused.py in
+interpreter mode and by the TPU test in tests/test_fused_device.py).
 Restrictions: deterministic-damage rulesets only (UTT v1/v2 — the nondet
-path needs threefry inside the kernel; it falls back to the unfused engine).
-
-STATUS (experimental): the engine was refactored Mosaic-compatible (no
-scatters, no i1 pads/constants/selects, no cross-minor reshapes, no
-cumsum, chained reductions) and the kernels now pass Mosaic's lowering,
-but the final compile currently dies in a Mosaic-internal CHECK
-(`array.h:480 limits[i] <= dim(i) (2 vs. 1)`).  Narrowed repro: STORING
-any [B, H, W] plane whose ancestry includes the damage-box computation
-crashes, while REDUCING the same value to a scalar compiles — i.e. a
-layout-assignment bug on materialization, not an unsupported op (outputs
-like `time` that dead-code the board pass).  Interpreter-mode equivalence
-is green; the unfused engine remains the production path (~1.4M full RL
-env-steps/s/chip, already past the 1M north star).
+path needs threefry inside the kernel; use the unfused engine).
 """
 
 from __future__ import annotations
@@ -42,6 +42,8 @@ PLANE_FIELDS = ("terrain", "utype", "owner", "hp", "carried", "uid", "busy",
                 "aorder", "atime")
 SCALAR_FIELDS = ("time", "resources", "next_id", "order_ctr",
                  "cancel_ctr", "key")
+# true per-env scalars (rank 0 per env; stored as one [1, B] row)
+SCALAR_RANK0 = ("time", "next_id", "order_ctr", "cancel_ctr")
 CAND_FIELDS = ("atype", "aparam", "atx", "aty", "aptype", "rank")
 
 
@@ -51,9 +53,10 @@ def _split_state(state: State):
     return planes, scalars
 
 
-def _scalar2d(x):
-    """Per-env scalars as [B, k] (TPU pallas wants >=2D blocks)."""
-    return x[:, None] if x.ndim == 1 else x
+def _scalar_bm(f, x):
+    """Per-env scalar leaves as batch-minor 2D rows: [B] -> [1, B],
+    [B, k] -> [k, B]."""
+    return x[None, :] if f in SCALAR_RANK0 else x.T
 
 
 def _mk_state(plane_vals, scalar_vals) -> State:
@@ -62,130 +65,133 @@ def _mk_state(plane_vals, scalar_vals) -> State:
     return State(**kw)
 
 
-def fused_cycle(engine: Engine, block: int = 256,
-                interpret: bool = False):
+def _bm_in_state(state: State):
+    """State -> list of batch-minor arrays ([H, W, B] planes, [k, B] rows),
+    bools widened to i32 (Mosaic has no i1 loads/stores)."""
+    planes, scalars = _split_state(state)
+    ins = [jnp.moveaxis(jnp.where(p, 1, 0) if p.dtype == jnp.bool_ else p,
+                        0, -1) for p in planes]
+    ins += [_scalar_bm(f, s) for f, s in zip(SCALAR_FIELDS, scalars)]
+    return ins
+
+
+def _read_state(refs):
+    """Kernel-side: refs -> a State whose leaves carry batch at axis -1."""
+    n_p = len(PLANE_FIELDS)
+    planes = [r[:] for r in refs[:n_p]]
+    planes[PLANE_FIELDS.index("busy")] = \
+        planes[PLANE_FIELDS.index("busy")] != 0
+    scalars = []
+    for f, r in zip(SCALAR_FIELDS, refs[n_p:]):
+        v = r[:]
+        scalars.append(v[0] if f in SCALAR_RANK0 else v)
+    return _mk_state(planes, scalars)
+
+
+def _write_state(out_refs, state: State):
+    planes, scalars = _split_state(state)
+    vals = [jnp.where(p, 1, 0) if p.dtype == jnp.bool_ else p
+            for p in planes]
+    vals += [s[None, :] if f in SCALAR_RANK0 else s
+             for f, s in zip(SCALAR_FIELDS, scalars)]
+    for r, v in zip(out_refs, vals):
+        r[:] = v
+
+
+def _state_out_shapes(state: State, H, W, B):
+    shapes = [jax.ShapeDtypeStruct((H, W, B), jnp.int32)
+              for _ in PLANE_FIELDS]
+    for f in SCALAR_FIELDS:
+        s = getattr(state, f)
+        k = 1 if f in SCALAR_RANK0 else s.shape[1]
+        shapes.append(jax.ShapeDtypeStruct((k, B), s.dtype))
+    return shapes
+
+
+def _unpack_state(outs):
+    n_p = len(PLANE_FIELDS)
+    planes = [jnp.moveaxis(o, -1, 0) for o in outs[:n_p]]
+    planes[PLANE_FIELDS.index("busy")] = \
+        planes[PLANE_FIELDS.index("busy")].astype(bool)
+    scalars = [o[0] if f in SCALAR_RANK0 else o.T
+               for f, o in zip(SCALAR_FIELDS, outs[n_p:n_p
+                                                   + len(SCALAR_FIELDS)])]
+    return _mk_state(planes, scalars)
+
+
+def _specs(arrs, block):
+    """Batch-minor BlockSpecs: tile the LAST (env) axis by ``block``."""
+    out = []
+    for x in arrs:
+        shape = x.shape if hasattr(x, "shape") else x
+        blk = tuple(shape[:-1]) + (block,)
+        nd = len(shape)
+        out.append(pl.BlockSpec(
+            blk, lambda i, nd=nd: (0,) * (nd - 1) + (i,),
+            memory_space=pltpu.VMEM))
+    return out
+
+
+def fused_cycle(engine: Engine, block: int = 512, interpret: bool = False):
     """Returns cycle_b(state[B, ...]) -> (state', done[B]) running each
-    block of envs fully in VMEM."""
+    block of envs fully in VMEM (one kernel for the whole GameState.cycle)."""
     H, W = engine.cfg.height, engine.cfg.width
+    n_out = len(PLANE_FIELDS) + len(SCALAR_FIELDS)
 
     def kernel(*refs):
-        n_in = len(PLANE_FIELDS) + len(SCALAR_FIELDS)
-        in_refs = refs[:n_in]
-        out_refs = refs[n_in:]
-        planes = [r[:] for r in in_refs[:len(PLANE_FIELDS)]]
-        scalars = [r[:] for r in in_refs[len(PLANE_FIELDS):]]
-        # undo the 2D packing of true scalars
-        scalars = [s[:, 0] if f in ("time", "next_id", "order_ctr", "cancel_ctr") else s
-                   for f, s in zip(SCALAR_FIELDS, scalars)]
-        planes[6] = planes[6] != 0  # busy (astype->i1 truncation unsupported in Mosaic)
-        state = _mk_state(planes, scalars)
-        new_state, done = jax.vmap(engine.cycle)(state)
-        new_planes, new_scalars = _split_state(new_state)
-        outs = ([jnp.where(p, 1, 0) if p.dtype == jnp.bool_
-                 else p for p in new_planes]
-                + [_scalar2d(s) for s in new_scalars]
-                + [jnp.where(done, 1, 0)[:, None]])
-        for r, v in zip(out_refs, outs):
-            r[:] = v
+        state = _read_state(refs[:n_out])
+        new_state, done = jax.vmap(engine.cycle, in_axes=-1,
+                                   out_axes=-1)(state)
+        _write_state(refs[n_out:-1], new_state)
+        refs[-1][:] = jnp.where(done, 1, 0)[None, :]
 
     def cycle_b(state: State):
         B = state.utype.shape[0]
         assert B % block == 0, (B, block)
-        planes, scalars = _split_state(state)
-        ins = [p.astype(jnp.int32) for p in planes] \
-            + [_scalar2d(s) for s in scalars]
-        grid = (B // block,)
-
-        def spec(x):
-            blk = (block,) + x.shape[1:]
-            return pl.BlockSpec(blk, lambda i: (i,) + (0,) * (x.ndim - 1),
-                                memory_space=pltpu.VMEM)
-
-        out_shapes = ([jax.ShapeDtypeStruct((B, H, W), jnp.int32)
-                       for _ in PLANE_FIELDS]
-                      + [jax.ShapeDtypeStruct(_scalar2d(s).shape, s.dtype)
-                         for s in scalars]
-                      + [jax.ShapeDtypeStruct((B, 1), jnp.int32)])
+        ins = _bm_in_state(state)
+        out_shapes = _state_out_shapes(state, H, W, B) \
+            + [jax.ShapeDtypeStruct((1, B), jnp.int32)]
         outs = pl.pallas_call(
             kernel,
-            grid=grid,
-            in_specs=[spec(x) for x in ins],
-            out_specs=[spec(jnp.zeros(s.shape, s.dtype))
-                       for s in out_shapes],
+            grid=(B // block,),
+            in_specs=_specs(ins, block),
+            out_specs=_specs([s.shape for s in out_shapes], block),
             out_shape=out_shapes,
             interpret=interpret,
         )(*ins)
-        n_p = len(PLANE_FIELDS)
-        new_planes = list(outs[:n_p])
-        new_planes[6] = new_planes[6].astype(bool)
-        new_scalars = [o[:, 0] if f in ("time", "next_id", "order_ctr", "cancel_ctr")
-                       else o
-                       for f, o in zip(SCALAR_FIELDS, outs[n_p:-1])]
-        done = outs[-1][:, 0].astype(bool)
-        return _mk_state(new_planes, new_scalars), done
+        return _unpack_state(outs[:-1]), outs[-1][0].astype(bool)
 
     return cycle_b
 
 
-def fused_issue(engine: Engine, block: int = 256,
-                interpret: bool = False):
+def fused_issue(engine: Engine, block: int = 512, interpret: bool = False):
     """Returns issue_b(state[B, ...], cand[B, ...]) -> state'."""
     H, W = engine.cfg.height, engine.cfg.width
+    n_state = len(PLANE_FIELDS) + len(SCALAR_FIELDS)
+    n_in = n_state + len(CAND_FIELDS)
 
     def kernel(*refs):
-        n_in = len(PLANE_FIELDS) + len(SCALAR_FIELDS) + len(CAND_FIELDS)
-        in_refs = refs[:n_in]
-        out_refs = refs[n_in:]
-        np_, ns = len(PLANE_FIELDS), len(SCALAR_FIELDS)
-        planes = [r[:] for r in in_refs[:np_]]
-        scalars = [r[:] for r in in_refs[np_:np_ + ns]]
-        scalars = [s[:, 0] if f in ("time", "next_id", "order_ctr", "cancel_ctr") else s
-                   for f, s in zip(SCALAR_FIELDS, scalars)]
-        planes[6] = planes[6] != 0
-        cand_vals = [r[:] for r in in_refs[np_ + ns:]]
-        state = _mk_state(planes, scalars)
+        state = _read_state(refs[:n_state])
+        cand_vals = [r[:] for r in refs[n_state:n_in]]
         cand = Candidates(**dict(zip(CAND_FIELDS, cand_vals)))
-        new_state = jax.vmap(engine.issue)(state, cand)
-        new_planes, new_scalars = _split_state(new_state)
-        outs = ([jnp.where(p, 1, 0) if p.dtype == jnp.bool_
-                 else p for p in new_planes]
-                + [_scalar2d(s) for s in new_scalars])
-        for r, v in zip(out_refs, outs):
-            r[:] = v
+        new_state = jax.vmap(engine.issue, in_axes=-1,
+                             out_axes=-1)(state, cand)
+        _write_state(refs[n_in:], new_state)
 
     def issue_b(state: State, cand: Candidates):
         B = state.utype.shape[0]
         assert B % block == 0
-        planes, scalars = _split_state(state)
-        ins = ([p.astype(jnp.int32) for p in planes]
-               + [_scalar2d(s) for s in scalars]
-               + [getattr(cand, f) for f in CAND_FIELDS])
-        grid = (B // block,)
-
-        def spec(x):
-            blk = (block,) + x.shape[1:]
-            return pl.BlockSpec(blk, lambda i: (i,) + (0,) * (x.ndim - 1),
-                                memory_space=pltpu.VMEM)
-
-        out_shapes = ([jax.ShapeDtypeStruct((B, H, W), jnp.int32)
-                       for _ in PLANE_FIELDS]
-                      + [jax.ShapeDtypeStruct(_scalar2d(s).shape, s.dtype)
-                         for s in scalars])
+        ins = _bm_in_state(state) \
+            + [jnp.moveaxis(getattr(cand, f), 0, -1) for f in CAND_FIELDS]
+        out_shapes = _state_out_shapes(state, H, W, B)
         outs = pl.pallas_call(
             kernel,
-            grid=grid,
-            in_specs=[spec(x) for x in ins],
-            out_specs=[spec(jnp.zeros(s.shape, s.dtype))
-                       for s in out_shapes],
+            grid=(B // block,),
+            in_specs=_specs(ins, block),
+            out_specs=_specs([s.shape for s in out_shapes], block),
             out_shape=out_shapes,
             interpret=interpret,
         )(*ins)
-        n_p = len(PLANE_FIELDS)
-        new_planes = list(outs[:n_p])
-        new_planes[6] = new_planes[6].astype(bool)
-        new_scalars = [o[:, 0] if f in ("time", "next_id", "order_ctr", "cancel_ctr")
-                       else o
-                       for f, o in zip(SCALAR_FIELDS, outs[n_p:])]
-        return _mk_state(new_planes, new_scalars)
+        return _unpack_state(outs)
 
     return issue_b
