@@ -144,6 +144,7 @@ class Engine(NamedTuple):
     cfg: EngineConfig
     validate: callable        # (State, Candidates) -> bool[H,W]
     issue: callable           # (State, Candidates) -> State
+    issue_env: callable       # issue fast path for decode-vetted candidates
     cycle: callable           # (State) -> (State, done bool)
     legal_masks: callable     # (State, player) -> dict of mask planes
     winner: callable          # (State) -> int32 (-1 none)
@@ -451,6 +452,51 @@ def make_engine(cfg: EngineConfig) -> Engine:
             + (sum2(nconf) if cfg.move_conflict_policy == 3 else 0),
         )
 
+    def issue_env(state: State, cand: Candidates) -> State:
+        """issueSafe fast path for candidates that came through the env
+        decode (PlayerAction.fromVectorAction) against FULL-obs claims.
+
+        The conflict machinery in ``issue`` is provably a no-op there:
+
+        * cross-cycle position conflicts — decode's claimed0 ledger is
+          ``_inflight_claims`` (every prior-tick MOVE/PRODUCE reservation,
+          always in-bounds), so no kept candidate targets a reserved cell;
+        * pairwise resource conflicts — decode's budget scan is CUMULATIVE
+          (spent0 = sum of in-flight produce costs >= the max single cost
+          the pairwise check uses), and a first-produce that passes only
+          via the zero-skip is either affordable or voided as illegal by
+          ``validate`` before the resource check can see it;
+        * same-tick CANCEL chains — decode's claim ledger makes each
+          player's kept claims mutually disjoint, and the second player's
+          ledger already contains the first player's SURVIVING assignments
+          (the sequential per-player flow threads the post-issue state).
+
+        Under partial observability none of this holds (hidden enemy
+        reservations are invisible to decode) — the PO path must use the
+        full ``issue``.  Equivalence on the full-obs path is asserted by
+        tests/test_engine_device.py::test_issue_env_fast_path."""
+        t, exists = _unit_ctx(state)
+        ignore = (~exists) | state.busy | (cand.atype < 0) | (state.owner < 0)
+
+        legal = validate(state, cand) & ~ignore
+        eta_att = eta_of(state, cand)
+        a_type = jnp.where(legal, cand.atype, NONE)
+        a_param = jnp.where(legal, cand.aparam, eta_att)
+
+        put = ~ignore
+        return state.replace(
+            busy=state.busy | put,
+            atype=jnp.where(put, a_type, state.atype),
+            aparam=jnp.where(put, a_param, state.aparam),
+            atx=jnp.where(put, cand.atx, state.atx),
+            aty=jnp.where(put, cand.aty, state.aty),
+            aptype=jnp.where(put, cand.aptype, state.aptype),
+            aticks=jnp.where(put, eta_att, state.aticks),
+            aorder=jnp.where(put, state.order_ctr + cand.rank, state.aorder),
+            atime=jnp.where(put, state.time, state.atime),
+            order_ctr=state.order_ctr + 2 * H * W,
+        )
+
     # ------------------------------------------------------------------
     # cycle (GameState.cycle :553-571 + UnitAction.execute :338-465)
 
@@ -738,5 +784,6 @@ def make_engine(cfg: EngineConfig) -> Engine:
                     produce_type=prod_type, produce_pair=prod_pair,
                     attack=atk_rel)
 
-    return Engine(cfg=cfg, validate=validate, issue=issue, cycle=cycle,
+    return Engine(cfg=cfg, validate=validate, issue=issue,
+                  issue_env=issue_env, cycle=cycle,
                   legal_masks=legal_masks, winner=winner, gameover=gameover)

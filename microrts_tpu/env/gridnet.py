@@ -384,11 +384,11 @@ class GridnetEnv:
         # engine's atime plane makes the second same-tick issue exact.
         c0, _, _ = self.decode(state, a0, 0, self._inflight_claims(state),
                                self._inflight_spent(state, 0))
-        state1 = self.engine.issue(state, c0)
+        state1 = self.engine.issue_env(state, c0)
         c1, _, _ = self.decode(state1, a1, 1,
                                self._inflight_claims(state1),
                                self._inflight_spent(state1, 1))
-        state2 = self.engine.issue(state1, c1)
+        state2 = self.engine.issue_env(state1, c1)
         state2, done = self.engine.cycle(state2)
         for _ in range(self.frame_skip - 1):
             state2, d2 = self.engine.cycle(state2)
@@ -408,12 +408,12 @@ class GridnetEnv:
         claimed = self._inflight_claims(state)
         c0, claimed, _ = self.decode(state, a0, 0, claimed,
                                      self._inflight_spent(state, 0))
-        state1 = self.engine.issue(state, c0)
+        state1 = self.engine.issue_env(state, c0)
         a1 = bot_fn(state1, 1)
         c1, _, _ = self.decode(state1, a1, 1,
                                self._inflight_claims(state1),
                                self._inflight_spent(state1, 1))
-        state1 = self.engine.issue(state1, c1)
+        state1 = self.engine.issue_env(state1, c1)
         state1, done = self.engine.cycle(state1)
         r0 = self._rewards(pre, c0, 0, state1)
         return state1, r0, done

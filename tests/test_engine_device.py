@@ -108,3 +108,48 @@ def test_conflict_policies():
     assert rnd <= {(0, 1, 0), (1, 0, 0)} and len(rnd) == 2  # RANDOM: both ways
     assert run(3, 0) == (1, 0, 1)                     # ALTERNATING: old wins,
     #                                                   counter incremented
+
+
+def test_issue_env_fast_path():
+    """issue_env (the conflict-machinery-free fast path for decode-vetted
+    candidates) must equal the full issue on the env step, tick for tick,
+    over a busy random self-play game — validating the no-conflict proof
+    in its docstring on real decode outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from microrts_tpu.bots.scripted import random_bot
+    from microrts_tpu.env.gridnet import GridnetEnv
+
+    env = GridnetEnv(str(MAPS / "8x8" / "basesWorkersBarracks8x8.xml"))
+    bot = random_bot(env, 5.0)
+    eng = env.engine
+
+    def step_with(issue_fn, state, a0, a1):
+        c0, _, _ = env.decode(state, a0, 0, env._inflight_claims(state),
+                              env._inflight_spent(state, 0))
+        s1 = issue_fn(state, c0)
+        c1, _, _ = env.decode(s1, a1, 1, env._inflight_claims(s1),
+                              env._inflight_spent(s1, 1))
+        s2 = issue_fn(s1, c1)
+        return eng.cycle(s2)[0]
+
+    fast = jax.jit(lambda s, a0, a1: step_with(eng.issue_env, s, a0, a1))
+    full = jax.jit(lambda s, a0, a1: step_with(eng.issue, s, a0, a1))
+
+    key = jax.random.PRNGKey(3)
+    s_fast = env.reset(jax.random.PRNGKey(4))
+    s_full = env.reset(jax.random.PRNGKey(4))
+    fields = ("utype", "owner", "hp", "carried", "uid", "busy", "atype",
+              "aparam", "atx", "aty", "aptype", "aticks", "aorder",
+              "atime", "time", "resources", "next_id", "order_ctr")
+    for t in range(200):
+        key, k0, k1 = jax.random.split(key, 3)
+        a0 = bot(s_fast, 0, k0)
+        a1 = bot(s_fast, 1, k1)
+        s_fast = fast(s_fast, a0, a1)
+        s_full = full(s_full, a0, a1)
+        for f in fields:
+            assert (np.asarray(getattr(s_fast, f))
+                    == np.asarray(getattr(s_full, f))).all(), (t, f)
