@@ -285,6 +285,57 @@ class HumanGame:
                        for u, o in self.compiler.orders.items()},
         }
 
+    # -- state editor (the FrontEnd FEStatePane analog: place/erase units
+    # and walls, set stockpiles, export the result as a reference-format
+    # map XML; gui/frontend/FEStatePane.java) ------------------------------
+    def edit(self, op, x=0, y=0, ptype=0, player=0, amount=None):
+        from .engine.pgs import HostUnit
+        from .engine.types import state_from_pgs
+        from .interop.serialize import state_to_pgs
+
+        cfg = self.env.cfg.engine
+        with self.lock:
+            pgs = state_to_pgs(self.state, self.env.utt)
+            if not (op == "resources" or (0 <= x < pgs.width
+                                          and 0 <= y < pgs.height)):
+                return False, "out of bounds"
+            u = pgs.get_unit_at(x, y)
+            if op == "place":
+                if pgs.get_terrain(x, y):
+                    return False, "wall"
+                if u is not None:
+                    pgs.remove_unit(u)
+                ut = self.env.utt.unit_types[ptype]
+                pl = -1 if ut.is_resource else player
+                nid = max((q.ID for q in pgs.units), default=-1) + 1
+                pgs.add_unit(HostUnit(
+                    ID=nid, player=pl, type_id=ptype, x=x, y=y,
+                    resources=(amount if amount is not None else 10)
+                    if ut.is_resource else 0,
+                    hitpoints=cfg.hp[ptype]))
+            elif op == "erase":
+                if u is not None:
+                    pgs.remove_unit(u)
+            elif op in ("wall", "floor"):
+                if u is not None:
+                    pgs.remove_unit(u)
+                pgs.terrain[x + y * pgs.width] = 1 if op == "wall" else 0
+            elif op == "resources":
+                pgs.players[player].resources = int(amount or 0)
+            else:
+                return False, "bad op"
+            self.state = state_from_pgs(
+                pgs, cfg, time=int(self.state.time)).replace(
+                    key=self.state.key)
+            self.over = False
+            return True, ""
+
+    def map_xml(self):
+        from .interop.serialize import state_to_pgs
+        with self.lock:
+            return state_to_pgs(self.state, self.env.utt).to_xml(
+                self.env.utt)
+
     def meta(self):
         cfg = self.env.cfg.engine
         return {
@@ -307,6 +358,16 @@ canvas{background:#1b1b1b;image-rendering:pixelated;cursor:crosshair}
 <h3>microrts_tpu — you are <span style=color:#6af>blue (player 0)</span></h3>
 <div id=bar>
 <button class=tb id=go>&#9654; start</button>
+<button class=tb id=edit>&#9998; edit</button>
+<span id=edtools style=display:none>
+<button class=tb data-tool=place>place</button>
+<button class=tb data-tool=wall>wall</button>
+<button class=tb data-tool=floor>floor</button>
+<button class=tb data-tool=erase>erase</button>
+<select id=edplayer class=tb><option value=0>P0 (blue)</option>
+<option value=1>P1 (red)</option></select>
+<a class=tb href=/map.xml download=edited.xml
+   style=text-decoration:none>save map</a></span>
 <span id=stat></span> <span id=msg></span></div>
 <canvas id=cv oncontextmenu="return false"></canvas>
 <div id=pal></div>
@@ -352,8 +413,22 @@ function at(e){const r=cv.getBoundingClientRect(),C=cell();
   return[Math.floor((e.clientX-r.left)/C),Math.floor((e.clientY-r.top)/C)]}
 function unitAt(x,y){for(const u of S.units)
   if(u[0]==x&&u[1]==y)return u;return null}
+let editing=false,tool='place';
+document.getElementById('edit').onclick=()=>{editing=!editing;
+  document.getElementById('edtools').style.display=editing?'':'none';
+  msg(editing?'editing (game paused; in-flight actions reset on edit)':'')};
+document.querySelectorAll('#edtools [data-tool]').forEach(b=>
+  b.onclick=()=>{tool=b.dataset.tool;msg('tool: '+tool)});
 cv.addEventListener('mousedown',async e=>{
   const[x,y]=at(e);const u=unitAt(x,y);
+  if(editing){
+    const pl=+document.getElementById('edplayer').value;
+    const body=tool=='place'
+      ?{op:'place',x,y,ptype:selType===null?0:selType,player:pl}
+      :{op:tool,x,y};
+    const r=await jpost('/edit',body);
+    msg(r.ok?'':'edit rejected: '+r.err);
+    META=await jget('/meta');poll();return}
   if(e.button==0){sel=(u&&u[3]==0)?u[7]:null;selTypeClear();draw();return}
   if(e.button!=2||sel===null)return;
   let od=null;
@@ -368,7 +443,7 @@ function msg(s){document.getElementById('msg').textContent=s}
 function selTypeClear(){selType=null;
   document.querySelectorAll('#pal .tb').forEach(b=>b.classList.remove('sel'))}
 function palette(){const pal=document.getElementById('pal');
-  META.types.forEach((n,i)=>{if(n=='Resource')return;
+  META.types.forEach((n,i)=>{
     const b=document.createElement('button');b.className='tb';
     b.textContent=`${n} (${META.cost[i]})`;
     b.onclick=()=>{selTypeClear();selType=i;b.classList.add('sel');
@@ -407,6 +482,8 @@ def make_handler(game: HumanGame):
                 self._send(game.snapshot())
             elif self.path == "/meta":
                 self._send(game.meta())
+            elif self.path == "/map.xml":
+                self._send(game.map_xml().encode(), "application/xml")
             else:
                 self.send_error(404)
 
@@ -424,6 +501,13 @@ def make_handler(game: HumanGame):
             elif self.path == "/pause":
                 game.paused = bool(req.get("paused", False))
                 self._send({"ok": True, "paused": game.paused})
+            elif self.path == "/edit":
+                game.paused = True
+                ok, err = game.edit(
+                    req.get("op", ""), int(req.get("x", 0)),
+                    int(req.get("y", 0)), int(req.get("ptype", 0)),
+                    int(req.get("player", 0)), req.get("amount"))
+                self._send({"ok": ok, "err": err})
             else:
                 self.send_error(404)
 

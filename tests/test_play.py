@@ -114,3 +114,43 @@ def test_http_surface(game):
         assert not json.load(urllib.request.urlopen(bad))["ok"]
     finally:
         srv.shutdown()
+
+
+def test_editor_place_wall_erase_and_save(game, tmp_path):
+    """FEStatePane analog: place/erase units, toggle walls, export a map
+    XML the standard loader reads back."""
+    import numpy as np
+
+    from microrts_tpu.engine.pgs import PhysicalGameState
+
+    game.compiler.clear()
+    free = (np.asarray(game.state.terrain) == 0) \
+        & (np.asarray(game.state.utype) == 0)
+    (y1, x1), (y2, x2) = list(zip(*np.nonzero(free)))[:2]
+    heavy = next(i for i, ut in enumerate(game.env.utt.unit_types)
+                 if ut.name == "Heavy")
+    ok, err = game.edit("place", int(x1), int(y1), heavy, player=1)
+    assert ok, err
+    assert int(np.asarray(game.state.utype)[y1, x1]) == heavy + 1
+    assert int(np.asarray(game.state.owner)[y1, x1]) == 1
+    assert int(np.asarray(game.state.hp)[y1, x1]) \
+        == game.env.cfg.engine.hp[heavy]
+
+    ok, _ = game.edit("wall", int(x2), int(y2))
+    assert ok
+    assert int(np.asarray(game.state.terrain)[y2, x2]) == 1
+    ok, err = game.edit("place", int(x2), int(y2), heavy)
+    assert not ok                      # can't place on a wall
+
+    xml = game.map_xml()
+    p = tmp_path / "edited.xml"
+    p.write_text(xml)
+    pgs = PhysicalGameState.load(str(p), game.env.utt)
+    u = pgs.get_unit_at(int(x1), int(y1))
+    assert u is not None and u.type_id == heavy and u.player == 1
+    assert pgs.get_terrain(int(x2), int(y2)) == 1
+
+    ok, _ = game.edit("erase", int(x1), int(y1))
+    assert ok and int(np.asarray(game.state.utype)[y1, x1]) == 0
+    ok, _ = game.edit("floor", int(x2), int(y2))
+    assert ok and int(np.asarray(game.state.terrain)[y2, x2]) == 0
