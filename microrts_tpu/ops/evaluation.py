@@ -84,6 +84,43 @@ def simple_sqrt_eval3(state: State, maxplayer, cfg: EngineConfig):
     return jnp.where(s1 + s2 == 0, 0.5, 2.0 * s1 / (s1 + s2) - 1.0)
 
 
+# SimpleOptEvaluationFunction.java:12-14 — tuned constants
+OPT_RESOURCE = 0.19059792
+OPT_RESOURCE_IN_WORKER = 0.60513535
+OPT_UNIT_BONUS_MULTIPLIER = 0.30983887
+
+
+def simple_opt_eval(state: State, maxplayer, cfg: EngineConfig):
+    """SimpleOptEvaluationFunction.evaluate (:17-31): SimpleEvaluation's
+    float-ratio formula under the tuned constants."""
+
+    def base(player):
+        _, mine, maxhp, cost, bal = _player_planes(state, player, cfg)
+        unit_term = OPT_UNIT_BONUS_MULTIPLIER * cost * state.hp \
+            / jnp.maximum(maxhp, 1).astype(jnp.float32)
+        return (bal * OPT_RESOURCE
+                + jnp.sum(jnp.where(
+                    mine, state.carried * OPT_RESOURCE_IN_WORKER + unit_term,
+                    0.0)))
+
+    return base(maxplayer) - base(1 - maxplayer)
+
+
+def simple_opt_upper_bound(state: State, cfg: EngineConfig):
+    """SimpleOptEvaluationFunction.upperBound (:34-54): all reachable
+    material of the better-off player, in bonus units."""
+    neutral = (state.utype > 0) & (state.owner == -1)
+    free = jnp.sum(jnp.where(neutral, state.carried, 0)) \
+        .astype(jnp.float32)
+
+    def reach(player):
+        _, mine, _maxhp, cost, bal = _player_planes(state, player, cfg)
+        return bal + jnp.sum(jnp.where(mine, state.carried + cost, 0.0))
+
+    return (free + jnp.maximum(reach(0), reach(1))) \
+        * OPT_UNIT_BONUS_MULTIPLIER
+
+
 # LanchesterEvaluationFunction weights (index 0: maps < 128 wide)
 _LW = dict(base=0.12900641042498262, rax=0.23108197488337265,
            worker=0.18122298329807154, light=1.7496678034331925,

@@ -1,0 +1,160 @@
+"""Round-2 evidence artifacts: the tournament results VERDICT r1 demands.
+
+Produces ``RESULTS.md`` at the repo root with four recorded tournaments:
+
+  A. NaiveMCTS vs MonteCarlo vs NaiveSampling head-to-head at equal playout
+     budget on basesWorkers8x8 and 16x16 (VERDICT r1 next-round #1).
+  B. Search bots (ABCD/IDABCD/RTMinimax/IDRTMinimax/PortfolioAI/PGSAI/
+     UCT tree/LSI/NaiveMCTS/Puppet) vs RandomBiasedAI on 8x8 (#2: >=90%).
+  C. Scripted variant family round-robin vs the four rushes (#3).
+  D. PO tournament: believe-state search vs po-wrapped flat MC (#8).
+
+Run: ``python scripts/evidence_r02.py [--cpu] [--section A B C D]``.
+Each section appends its table as soon as it finishes, so a partial run
+still leaves a usable artifact.  Reference analog: tests/CompareAllAIs*.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+HEADER = """# Recorded tournament evidence (round 2)
+
+Reproduce with `python scripts/evidence_r02.py --cpu`.  Winners computed by
+`eval.tournament` (whole tournament = one compiled batched program); w/t/g =
+wins/ties/games per ordered pairing; draws include max-cycle cutoffs.
+"""
+
+
+def _emit(out, text):
+    print(text, flush=True)
+    with open(out, "a") as f:
+        f.write(text + "\n")
+
+
+def section_a(out):
+    import jax
+
+    from microrts_tpu.bots.search import monte_carlo_bot, naive_sampling_bot
+    from microrts_tpu.bots.treesearch import naive_mcts_bot
+    from microrts_tpu.env.gridnet import GridnetEnv
+    from microrts_tpu.eval.tournament import round_robin
+    from microrts_tpu.utils.assets import asset_path
+
+    _emit(out, "\n## A. NaiveMCTS vs playout searchers "
+               "(equal budget: 24 playouts x 32 ticks per move)\n")
+    for label, mp, games, cyc in (
+            ("basesWorkers8x8", "maps/8x8/basesWorkers8x8.xml", 8, 600),
+            ("basesWorkers16x16", "maps/16x16/basesWorkers16x16.xml", 6,
+             800)):
+        env = GridnetEnv(asset_path(mp))
+        bots = {
+            "NaiveMCTS": naive_mcts_bot(env, max_nodes=48, max_children=8,
+                                        max_depth=6, n_playouts=24,
+                                        playout_len=32),
+            "MonteCarlo": monte_carlo_bot(env, n_candidates=24,
+                                          playout_len=32),
+            "NaiveSampling": naive_sampling_bot(env, n_rounds=24,
+                                                playout_len=32),
+        }
+        t0 = time.time()
+        res = round_robin(env, bots, games_per_pair=games, max_cycles=cyc,
+                          seed=11)
+        _emit(out, f"### {label} ({games} games/ordered pair, "
+                   f"max {cyc} cycles, {time.time()-t0:.0f}s)\n")
+        _emit(out, "```\n" + res.table() + "\n```")
+
+
+def section_b(out):
+    from microrts_tpu.config import make_bot
+    from microrts_tpu.env.gridnet import GridnetEnv
+    from microrts_tpu.eval.tournament import play_matches
+    from microrts_tpu.utils.assets import asset_path
+
+    env = GridnetEnv(asset_path("maps/8x8/basesWorkers8x8.xml"))
+    _emit(out, "\n## B. Search bots vs RandomBiasedAI (basesWorkers8x8, "
+               "10 games each side, max 800 cycles)\n")
+    _emit(out, "| bot | wins | ties | losses | win% |")
+    _emit(out, "|---|---|---|---|---|")
+    rb = make_bot("RandomBiasedAI", env)
+    for name in ("ABCD", "IDABCD", "RTMinimax", "IDRTMinimax",
+                 "PortfolioAI", "PGSAI", "UCT", "LSI", "NaiveMCTS",
+                 "PuppetNoPlan", "PuppetSearchMCTS", "SCV", "AHTN"):
+        bot = make_bot(name, env)
+        w0 = play_matches(env, bot, rb, n_games=10, max_cycles=800, seed=5)
+        w1 = play_matches(env, rb, bot, n_games=10, max_cycles=800, seed=6)
+        wins = int((w0 == 0).sum() + (w1 == 1).sum())
+        loss = int((w0 == 1).sum() + (w1 == 0).sum())
+        ties = 20 - wins - loss
+        _emit(out, f"| {name} | {wins} | {ties} | {loss} | "
+                   f"{100.0 * wins / 20:.0f}% |")
+
+
+def section_c(out):
+    from microrts_tpu.eval.experimenter import run_experiments
+
+    pool = ["WorkerRush", "LightRush", "HeavyRush", "RangedRush",
+            "WorkerRushPlusPlus", "WorkerDefense", "LightDefense",
+            "HeavyDefense", "RangedDefense", "EconomyRush",
+            "EconomyMilitaryRush", "EMRDeterministico",
+            "EconomyRushBurster", "SimpleEconomyRush",
+            "CRush_V1", "CRush_V2"]
+    t0 = time.time()
+    rep = run_experiments(["maps/8x8/basesWorkers8x8.xml"], pool,
+                          iterations=2, max_cycles=2000, max_inactive=300,
+                          seed=3)
+    _emit(out, f"\n## C. Scripted variant family round-robin "
+               f"(2 iterations/ordered pair, {time.time()-t0:.0f}s)\n")
+    _emit(out, "```\n" + rep.table() + "\n```")
+
+
+def section_d(out):
+    from microrts_tpu.bots.believestate import (believe_state_bot,
+                                                play_matches_stateful,
+                                                stateless)
+    from microrts_tpu.bots.scripted import po_wrap
+    from microrts_tpu.bots.search import monte_carlo_bot
+    from microrts_tpu.env.gridnet import GridnetEnv
+    from microrts_tpu.utils.assets import asset_path
+
+    env = GridnetEnv(asset_path("maps/8x8/basesWorkers8x8.xml"))
+    inner = monte_carlo_bot(env, n_candidates=8, playout_len=24)
+    bs = believe_state_bot(env, inner, level=3)
+    po_mc = stateless(po_wrap(env, monte_carlo_bot(env, n_candidates=8,
+                                                   playout_len=24)))
+    w = play_matches_stateful(env, bs, po_mc, n_games=10, max_cycles=700,
+                              seed=7)
+    wins, loss = int((w == 0).sum()), int((w == 1).sum())
+    _emit(out, "\n## D. PO search: BS3(MonteCarlo) vs po-wrapped "
+               "MonteCarlo (basesWorkers8x8, fog on, 10 games)\n")
+    _emit(out, f"BS3 wins {wins}, losses {loss}, "
+               f"draws {10 - wins - loss}.")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--section", nargs="+", default=list("ABCD"))
+    ap.add_argument("-o", "--out", default="RESULTS.md")
+    args = ap.parse_args()
+    if args.cpu:
+        from microrts_tpu.utils.platform import force_cpu
+        force_cpu()
+    import jax
+    with open(args.out, "w") as f:
+        f.write(HEADER)
+    _emit(args.out, f"\nDevice: {jax.devices()[0].device_kind}.")
+    for s in args.section:
+        t0 = time.time()
+        getattr(sys.modules[__name__], f"section_{s.lower()}")(args.out)
+        print(f"[section {s} done in {time.time()-t0:.0f}s]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,18 @@ def test_eval_functions_symmetry_and_signs(env):
            for n in ("Base", "Barracks", "Worker", "Light", "Heavy",
                      "Ranged")}
     assert float(lanchester_eval(s2, 0, cfg, ids)) > 0
+    # SimpleOpt: symmetric start is 0; wipe favors p0; upperBound counts
+    # free map resources + the richer player's (carried + cost + bank)
+    from microrts_tpu.ops.evaluation import (OPT_UNIT_BONUS_MULTIPLIER,
+                                             simple_opt_eval,
+                                             simple_opt_upper_bound)
+    assert float(simple_opt_eval(s, 0, cfg)) == 0.0
+    assert float(simple_opt_eval(s2, 0, cfg)) > 0
+    free = float(np.where((np.asarray(s.owner) == -1)
+                          & (np.asarray(s.utype) > 0),
+                          np.asarray(s.carried), 0).sum())
+    ub = float(simple_opt_upper_bound(s, cfg))
+    assert ub > free * OPT_UNIT_BONUS_MULTIPLIER  # players add material
 
 
 def test_search_bot_actions_legal():
