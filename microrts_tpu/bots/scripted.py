@@ -105,6 +105,25 @@ def random_bot(env: GridnetEnv, bias: float = 1.0):
     return bot
 
 
+def random_biased_single_unit_bot(env: GridnetEnv, bias: float = 5.0):
+    """RandomBiasedSingleUnitAI (ai/RandomBiasedSingleUnitAI.java:76-110):
+    ONE uniformly-chosen idle own unit acts per call (biased draw like
+    RandomBiasedAI); every other unit idles."""
+    inner = random_bot(env, bias)
+
+    def bot(state: State, player, key):
+        k0, k1 = jax.random.split(key)
+        a = inner(state, player, k0)
+        m = env.engine.legal_masks(state, player)
+        r = jax.random.uniform(k1, m["can_act"].shape)
+        score = jnp.where(m["can_act"], r, -1.0)
+        flat = jnp.argmax(score.reshape(-1))
+        chosen = (jnp.arange(score.size).reshape(score.shape) == flat)
+        return jnp.where((chosen & m["can_act"])[..., None], a, 0)
+
+    return bot
+
+
 @dataclasses.dataclass(frozen=True)
 class RushSpec:
     """Behavior spec covering the whole scripted-bot variant family

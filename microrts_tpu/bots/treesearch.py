@@ -164,11 +164,28 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
                    max_depth: int = 8, playout_len: int = 64,
                    eps0: float = 0.2, eps_l: float = 0.25,
                    eps_g: float = 0.0, gamma: float = 0.99,
-                   eval_fn: Optional[Callable] = None):
+                   eval_fn: Optional[Callable] = None,
+                   prior_fn: Optional[Callable] = None,
+                   local_policy: str = "egreedy", ucb_c: float = 0.05,
+                   rollout_bot: Optional[Callable] = None,
+                   phase2: Optional[tuple] = None,
+                   phase1_ratio: float = 0.5):
     """NaiveMCTS (ai/mcts/naivemcts/NaiveMCTS.java) with per-unit CMAB
     tables and a bounded batched tree.  Budgets are static (the Java
     ITERATIONS_BUDGET analog is ``n_playouts``; TIME_BUDGET has no analog
-    for a jitted bot)."""
+    for a jitted bot).
+
+    ``prior_fn(state, player, legal_arms) -> [H, W, A]`` turns this into
+    InformedNaiveMCTS (InformedNaiveMCTSNode.java:181-238): exploration
+    mass follows the learned distribution instead of uniform, and while a
+    unit still has unvisited arms, sampling is prior-weighted over them.
+    ``local_policy="ucb"`` gives the MLPSMCTS per-unit rule
+    (MLPSNode.java:130-211): deterministic argmax of exploitation +
+    ucb_c * M*sqrt((M+1)*ln n / n_ij), unvisited arms first.
+    ``phase2=(eps0', eps_l', eps_g')`` gives TwoPhaseNaiveMCTS
+    (ai/mcts/naivemcts/TwoPhaseNaiveMCTS.java:36-90): after
+    ``phase1_ratio`` of the playout budget the epsilons switch —
+    canonically explore-then-exploit (eps0 1.0 -> 0.0)."""
     ecfg = env.cfg.engine
     H, W = env.h, env.w
     sp = arm_space(env)
@@ -176,7 +193,7 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
     N, C, D = max_nodes, max_children, max_depth
     if eval_fn is None:
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
-    playout = _make_playout(env, playout_len, eval_fn, gamma)
+    playout = _make_playout(env, playout_len, eval_fn, gamma, rollout_bot)
 
     def init_tree(state: State, player) -> _NaiveTree:
         return _NaiveTree(
@@ -195,9 +212,10 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
             nchild=jnp.zeros(N + 1, jnp.int32),
             nnodes=jnp.int32(1))
 
-    def local_sample(t: _NaiveTree, cur, p, maxp, key):
+    def local_sample(t: _NaiveTree, cur, p, maxp, key, cur_eps_l):
         """One naive-sampling draw of a joint action at node ``cur``:
-        per-cell local MABs (selectLeafUsingLocalMABs:196-260)."""
+        per-cell local MABs (selectLeafUsingLocalMABs:196-260; informed
+        variant :181-238; MLPS UCB variant MLPSNode.java:130-211)."""
         st = _get_state(t.states, cur)
         m = env.engine.legal_masks(st, p)
         la = arm_masks(sp, m)
@@ -208,12 +226,70 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
         nleg = jnp.maximum(jnp.sum(la, -1, keepdims=True), 1)
         mean = ta / jnp.maximum(tv, 1)
         mean = jnp.where(p == maxp, mean, -mean)   # min node: prefer low
+        if local_policy == "unit_uct":
+            # UCTUnitActions (ai/mcts/uct/UCTUnitActionsNode.java): each
+            # tree level decides ONE unit — the first idle own unit in
+            # board order (:49-62); unvisited actions expand in list
+            # order (attacks first, NONE last, :86-96), else UCB1 with
+            # C*normalized exploitation + sqrt(ln(n/n_j)) (:100-119)
+            H_, W_ = la.shape[0], la.shape[1]
+            can_flat = m["can_act"].reshape(-1)
+            first = jnp.argmax(can_flat)
+            cell = (jnp.arange(can_flat.shape[0]) == first).reshape(H_, W_)
+            la1 = la & cell[..., None]
+            unv1 = la1 & (tv == 0)
+            n = jnp.maximum(_row(t.nvis, cur), 1).astype(jnp.float32)
+            exploit = (mean + 1.0) * 0.5        # bound-normalized
+            explore = jnp.sqrt(jnp.maximum(
+                jnp.log(n / jnp.maximum(tv, 1).astype(jnp.float32)),
+                0.0))
+            score = jnp.where(la1 & ~unv1,
+                              ucb_c * exploit + explore, -jnp.inf)
+            arm_ids = jax.lax.broadcasted_iota(jnp.int32, la.shape, 2)
+            last_unv = jnp.max(jnp.where(unv1, arm_ids, -1), -1)
+            pick = jnp.where(jnp.any(unv1, -1), last_unv,
+                             jnp.argmax(score, -1))
+            dist = (arm_ids == pick[..., None]).astype(jnp.float32)
+            dist = jnp.where(la1, dist, 0.0)
+            return sample_arms(sp, key, dist,
+                               m["can_act"] & cell), st
+        if local_policy == "ucb":
+            # MLPS: per-unit UCB1, unvisited first (explorationValue's
+            # n_ij=0 -> MAX_VALUE; the Java tie-break lands on the unit's
+            # FIRST listed action — attacks first, NONE last
+            # (Unit.getUnitActions:389-519) — which in arm-index order is
+            # the HIGHEST unvisited arm); M = the node's widest unit
+            M = jnp.max(jnp.sum(la, -1)).astype(jnp.float32)
+            n = jnp.maximum(_row(t.nvis, cur), 1).astype(jnp.float32)
+            explore = M * jnp.sqrt(
+                (M + 1.0) * jnp.log(n)
+                / jnp.maximum(tv, 1).astype(jnp.float32))
+            score = jnp.where(la & ~unv, mean + ucb_c * explore, -jnp.inf)
+            arm_ids = jax.lax.broadcasted_iota(jnp.int32, la.shape, 2)
+            last_unv = jnp.max(jnp.where(unv, arm_ids, -1), -1)
+            pick = jnp.where(jnp.any(unv, -1), last_unv,
+                             jnp.argmax(score, -1))
+            dist = (arm_ids == pick[..., None]).astype(jnp.float32)
+            dist = jnp.where(la, dist, 0.0)
+            return sample_arms(sp, key, dist, m["can_act"]), st
         best = jnp.argmax(jnp.where(la & (tv > 0), mean, -jnp.inf), -1)
         greedy = (jax.lax.broadcasted_iota(jnp.int32, la.shape, 2)
                   == best[..., None])
-        dist_vis = eps_l / nleg + jnp.where(greedy, 1.0 - eps_l, 0.0)
-        dist = jnp.where(any_unv, jnp.where(unv, 1.0, 0.0),
-                         jnp.where(la, dist_vis, 0.0))
+        if prior_fn is not None:
+            pri = prior_fn(st, p, la)
+            dist_vis = (cur_eps_l * pri
+                        + jnp.where(greedy, 1.0 - cur_eps_l, 0.0))
+            dist = jnp.where(any_unv, jnp.where(unv, pri, 0.0),
+                             jnp.where(la, dist_vis, 0.0))
+            # a cell whose legal-but-unvisited arms all have zero prior
+            # still needs mass: fall back to uniform over them
+            zrow = (jnp.sum(dist, -1, keepdims=True) <= 0.0)
+            dist = jnp.where(zrow & unv, 1.0, dist)
+        else:
+            dist_vis = (cur_eps_l / nleg
+                        + jnp.where(greedy, 1.0 - cur_eps_l, 0.0))
+            dist = jnp.where(any_unv, jnp.where(unv, 1.0, 0.0),
+                             jnp.where(la, dist_vis, 0.0))
         return sample_arms(sp, key, dist, m["can_act"]), st
 
     def bot(state: State, player, key):
@@ -221,9 +297,16 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
         tree = init_tree(state, maxp)
         t0 = state.time
 
-        def one_playout(_, carry):
+        def one_playout(it, carry):
             tree, key = carry
             key, kd, kp = jax.random.split(key, 3)
+            if phase2 is None:
+                cur_eps0, cur_eps_l, cur_eps_g = eps0, eps_l, eps_g
+            else:
+                in1 = it < int(n_playouts * phase1_ratio)
+                cur_eps0 = jnp.where(in1, eps0, phase2[0])
+                cur_eps_l = jnp.where(in1, eps_l, phase2[1])
+                cur_eps_g = jnp.where(in1, eps_g, phase2[2])
 
             # ---- select leaf (fixed-trip descent) -------------------
             path = jnp.full(D + 2, -1, jnp.int32)
@@ -245,16 +328,18 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
                 slots = jnp.arange(C)
                 score = jnp.where(slots < nch, sgn * mean, -jnp.inf)
                 gslot = jnp.where(
-                    jax.random.uniform(k0) < eps_g,
+                    jax.random.uniform(k0) < cur_eps_g,
                     jax.random.randint(k1, (), 0, jnp.maximum(nch, 1)),
                     jnp.argmax(score))
                 gchild = _row(crow, gslot)
                 garms = _row(_row(t.carms, cur), gslot)
-                use_global = (nch > 0) & (jax.random.uniform(k2) >= eps0) \
+                use_global = (nch > 0) \
+                    & (jax.random.uniform(k2) >= cur_eps0) \
                     & ~term & ~found
 
                 # local MABs
-                arms, st = local_sample(t, cur, p, maxp, k3)
+                arms, st = local_sample(t, cur, p, maxp, k3,
+                                        cur_eps_l)
                 arms8 = arms.astype(jnp.int8)
 
                 # child lookup by exact arm-plane compare (childrenMap)
@@ -372,12 +457,18 @@ def uct_tree_bot(env: GridnetEnv, n_playouts: int = 64,
                  max_nodes: int = 96, n_candidates: int = 8,
                  max_depth: int = 8, playout_len: int = 64,
                  c_uct: float = 0.7, gamma: float = 0.99,
-                 eval_fn: Optional[Callable] = None):
+                 eval_fn: Optional[Callable] = None,
+                 fpu: Optional[float] = None):
     """UCT over a downsampled move set with REAL tree growth
     (ai/mcts/uct/DownsamplingUCT.java + UCTNode tree semantics): each node
     carries K uniformly sampled candidate joint actions; unexplored
     candidates expand first (UCTNode.UCTSelectLeaf), then UCB1 with the
-    [-1,1] evaluation mapped to [0,1]; move = most-visited root arm."""
+    [-1,1] evaluation mapped to [0,1]; move = most-visited root arm.
+
+    ``fpu`` gives UCTFirstPlayUrgency (ai/mcts/uct/UCTFirstPlayUrgency
+    .java, UCTNodeFirstPlayUrgency): instead of forcing every unvisited
+    candidate to expand before any UCB step, an unvisited candidate
+    competes with the fixed first-play-urgency score ``fpu``."""
     ecfg = env.cfg.engine
     H, W = env.h, env.w
     sp = arm_space(env)
@@ -433,7 +524,12 @@ def uct_tree_bot(env: GridnetEnv, n_playouts: int = 64,
                 expl = (mean + 1.0) * 0.5 + c_uct * jnp.sqrt(
                     jnp.log(jnp.maximum(_row(t.nvis, cur), 1).astype(
                         jnp.float32) + 1.0) / jnp.maximum(av, 1))
-                slot = jnp.where(any_unex, first_unex, jnp.argmax(expl))
+                if fpu is None:
+                    slot = jnp.where(any_unex, first_unex,
+                                     jnp.argmax(expl))
+                else:
+                    slot = jnp.argmax(jnp.where(unex, jnp.float32(fpu),
+                                                expl))
                 arms = _row(_row(t.acand, cur), slot).astype(jnp.int32)
                 child = _row(_row(t.achild, cur), slot)
 
@@ -507,3 +603,49 @@ def uct_tree_bot(env: GridnetEnv, n_playouts: int = 64,
                          jnp.zeros_like(act))
 
     return bot
+
+
+# ======================================================================
+# InformedNaiveMCTS / MLPSMCTS (naive-tree variants)
+
+def informed_naive_mcts_bot(env: GridnetEnv, model, *,
+                            model_playouts: bool = True, **kw):
+    """InformedNaiveMCTS (ai/mcts/informedmcts/InformedNaiveMCTS.java):
+    NaiveMCTS whose per-unit exploration follows a learned unit-action
+    distribution; by default the playout policy is the model too (the
+    Java default wires the same AIM-WR model as playout AI and tree bias,
+    InformedNaiveMCTS.java:72-84).  ``model`` is a pretrained-XML path or
+    a loaded ml.pretrained.PretrainedBayes (the reference ships these in
+    data/bayesianmodels/pretrained/)."""
+    from ..ml.pretrained import load_pretrained, make_prior_fn, \
+        pretrained_bayes_bot
+    if not hasattr(model, "log_prior"):
+        model = load_pretrained(model, env)
+    kw.setdefault("eps0", 0.4)
+    kw.setdefault("eps_l", 0.3)
+    if model_playouts and "rollout_bot" not in kw:
+        kw["rollout_bot"] = pretrained_bayes_bot(env, model)
+    return naive_mcts_bot(env, prior_fn=make_prior_fn(env, model), **kw)
+
+
+def uct_unit_actions_bot(env: GridnetEnv, ucb_c: float = 0.05, **kw):
+    """UCTUnitActions (ai/mcts/uct/UCTUnitActions.java): a UCT tree whose
+    levels decide one unit at a time (first idle unit in board order) —
+    per frame the root's most-visited single-unit action is played.
+    Deeper default tree (Java MAX_TREE_DEPTH=10 *unit* decisions)."""
+    kw.setdefault("eps0", 1.0)
+    kw.setdefault("eps_g", 0.0)
+    kw.setdefault("max_depth", 10)
+    return naive_mcts_bot(env, local_policy="unit_uct", ucb_c=ucb_c, **kw)
+
+
+def mlps_mcts_bot(env: GridnetEnv, ucb_c: float = 0.05, **kw):
+    """MLPSMCTS (ai/mcts/mlps/MLPSMCTS.java): the naive tree with the
+    per-unit UCB1 local rule (exploit + C*M*sqrt((M+1)*ln n / n_ij)) and
+    no global-MAB step (eps0 = 1 forces local selection each descent,
+    like MLPSNode.selectLeaf).  Divergence from the Java (documented):
+    min nodes minimize the exploitation term — MLPSNode maximizes the
+    raw mean at both node types, which reads as an upstream bug."""
+    kw.setdefault("eps0", 1.0)
+    kw.setdefault("eps_g", 0.0)
+    return naive_mcts_bot(env, local_policy="ucb", ucb_c=ucb_c, **kw)

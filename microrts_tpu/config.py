@@ -92,6 +92,14 @@ JAVA_AI_ALIASES = {
     "ai.mcts.naivemcts.NaiveMCTS": "NaiveMCTS",
     "ai.mcts.uct.UCT": "UCT",
     "ai.mcts.uct.DownsamplingUCT": "DownsamplingUCT",
+    "ai.mcts.informedmcts.InformedNaiveMCTS": "InformedNaiveMCTS",
+    "ai.mcts.mlps.MLPSMCTS": "MLPSMCTS",
+    "ai.mcts.naivemcts.TwoPhaseNaiveMCTS": "TwoPhaseNaiveMCTS",
+    "ai.mcts.uct.UCTFirstPlayUrgency": "UCTFirstPlayUrgency",
+    "ai.mcts.uct.UCTUnitActions": "UCTUnitActions",
+    "ai.RandomBiasedSingleUnitAI": "RandomBiasedSingleUnitAI",
+    "ai.stochastic.UnitActionProbabilityDistributionAI":
+        "UnitActionProbabilityDistributionAI",
     "ai.montecarlo.lsi.LSI": "LSI",
     "ai.puppet.PuppetSearchAB": "PuppetSearchAB",
     "ai.puppet.PuppetSearchMCTS": "PuppetSearchMCTS",
@@ -122,6 +130,24 @@ JAVA_AI_ALIASES = {
 }
 
 
+def _pretrained_wr() -> str:
+    """The AIM-WR pretrained Bayes model (the Java InformedNaiveMCTS
+    default, InformedNaiveMCTS.java:72-84); bundled in-package."""
+    from .utils.assets import asset_path
+    try:
+        return asset_path("bayesianmodels/ActionInterdependenceModel-WR.xml")
+    except FileNotFoundError:
+        return asset_path(
+            "data/bayesianmodels/pretrained/ActionInterdependenceModel-WR.xml")
+
+
+def _uapd(env):
+    """UnitActionProbabilityDistributionAI over the pretrained AIM-WR
+    model (ai/stochastic/UnitActionProbabilityDistributionAI.java)."""
+    from .ml.pretrained import pretrained_bayes_bot
+    return pretrained_bayes_bot(env, _pretrained_wr())
+
+
 def make_bot(name: str, env) -> "callable":
     """Bot factory by (Java or short) name."""
     from .bots import scripted as S
@@ -131,6 +157,8 @@ def make_bot(name: str, env) -> "callable":
         "PassiveAI": lambda: S.passive_bot(env),
         "RandomAI": lambda: S.random_bot(env, 1.0),
         "RandomBiasedAI": lambda: S.random_bot(env, 5.0),
+        "RandomBiasedSingleUnitAI":
+            lambda: S.random_biased_single_unit_bot(env),
         "WorkerRush": lambda: S.worker_rush(env),
         "LightRush": lambda: S.light_rush(env),
         "HeavyRush": lambda: S.heavy_rush(env),
@@ -182,6 +210,16 @@ def make_bot(name: str, env) -> "callable":
             "PGSAI": lambda: PF.pgs_bot(env),
             "MonteCarlo": lambda: SE.monte_carlo_bot(env),
             "NaiveMCTS": lambda: TS.naive_mcts_bot(env),
+            # TwoPhaseNaiveMCTS.java:44-50 canonical epsilons
+            "TwoPhaseNaiveMCTS": lambda: TS.naive_mcts_bot(
+                env, eps0=1.0, eps_l=0.3, eps_g=0.0,
+                phase2=(0.0, 0.3, 0.0), phase1_ratio=0.5),
+            "InformedNaiveMCTS": lambda: TS.informed_naive_mcts_bot(
+                env, _pretrained_wr()),
+            "MLPSMCTS": lambda: TS.mlps_mcts_bot(env),
+            "UCTFirstPlayUrgency": lambda: TS.uct_tree_bot(env, fpu=0.5),
+            "UCTUnitActions": lambda: TS.uct_unit_actions_bot(env),
+            "UnitActionProbabilityDistributionAI": lambda: _uapd(env),
             "UCT": lambda: TS.uct_tree_bot(env),
             "DownsamplingUCT": lambda: TS.uct_tree_bot(env,
                                                        n_candidates=4),

@@ -91,10 +91,12 @@ def compute_features(state: State, player, cfg: EngineConfig) -> jax.Array:
     occ_feats = []
     for (xo, yo) in OFFS:
         # the value AT cell (x - xo, y - yo), read back at (x, y)
-        src_mine = K._shift(mine, -xo, -yo, fill=False)
-        src_enemy = K._shift(enemy, -xo, -yo, fill=False)
-        src_t = K._shift(t, -xo, -yo, fill=0)
-        src_wall = K._shift(state.terrain != 0, -xo, -yo, fill=True)
+        # (FeatureGeneratorSimple.java:87-89; _shift(p, xo, yo) places
+        # p[y - yo, x - xo] at (y, x))
+        src_mine = K._shift(mine, xo, yo, fill=False)
+        src_enemy = K._shift(enemy, xo, yo, fill=False)
+        src_t = K._shift(t, xo, yo, fill=0)
+        src_wall = K._shift(state.terrain != 0, xo, yo, fill=True)
         f = jnp.where(src_mine, 2 + src_t,
                       jnp.where(src_enemy, 2 + T + src_t,
                                 jnp.where(src_wall, 1, 0)))

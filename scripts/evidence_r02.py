@@ -49,10 +49,13 @@ def section_a(out):
 
     _emit(out, "\n## A. NaiveMCTS vs playout searchers "
                "(equal budget: 24 playouts x 32 ticks per move)\n")
-    for label, mp, games, cyc in (
-            ("basesWorkers8x8", "maps/8x8/basesWorkers8x8.xml", 8, 600),
-            ("basesWorkers16x16", "maps/16x16/basesWorkers16x16.xml", 6,
-             800)):
+    import jax as _jax
+    on_tpu = _jax.devices()[0].platform != "cpu"
+    confs = [("basesWorkers8x8", "maps/8x8/basesWorkers8x8.xml", 4, 600)]
+    if on_tpu:   # the 16x16 search tournament is TPU-budget territory
+        confs.append(("basesWorkers16x16",
+                      "maps/16x16/basesWorkers16x16.xml", 6, 800))
+    for label, mp, games, cyc in confs:
         env = GridnetEnv(asset_path(mp))
         bots = {
             "NaiveMCTS": naive_mcts_bot(env, max_nodes=48, max_children=8,
@@ -79,7 +82,7 @@ def section_b(out):
 
     env = GridnetEnv(asset_path("maps/8x8/basesWorkers8x8.xml"))
     _emit(out, "\n## B. Search bots vs RandomBiasedAI (basesWorkers8x8, "
-               "10 games each side, max 800 cycles)\n")
+               "10 games each side, max 600 cycles)\n")
     _emit(out, "| bot | wins | ties | losses | win% |")
     _emit(out, "|---|---|---|---|---|")
     rb = make_bot("RandomBiasedAI", env)
@@ -87,8 +90,8 @@ def section_b(out):
                  "PortfolioAI", "PGSAI", "UCT", "LSI", "NaiveMCTS",
                  "PuppetNoPlan", "PuppetSearchMCTS", "SCV", "AHTN"):
         bot = make_bot(name, env)
-        w0 = play_matches(env, bot, rb, n_games=10, max_cycles=800, seed=5)
-        w1 = play_matches(env, rb, bot, n_games=10, max_cycles=800, seed=6)
+        w0 = play_matches(env, bot, rb, n_games=10, max_cycles=600, seed=5)
+        w1 = play_matches(env, rb, bot, n_games=10, max_cycles=600, seed=6)
         wins = int((w0 == 0).sum() + (w1 == 1).sum())
         loss = int((w0 == 1).sum() + (w1 == 0).sum())
         ties = 20 - wins - loss
@@ -140,7 +143,7 @@ def section_d(out):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--section", nargs="+", default=list("ABCD"))
+    ap.add_argument("--section", nargs="+", default=list("CDBA"))
     ap.add_argument("-o", "--out", default="RESULTS.md")
     args = ap.parse_args()
     if args.cpu:
