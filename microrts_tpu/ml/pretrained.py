@@ -137,6 +137,9 @@ def _floats(el) -> np.ndarray:
 
 
 def _parse_aim(el) -> _RawModel:
+    # every shipped pretrained file uses ESTIMATION_LAPLACE (=2,
+    # BayesianModel.java:27); the COUNTS variant is not implemented here
+    assert int(el.get("estimationMethod")) == 2, el.get("estimationMethod")
     ysize = int(el.get("Ysize"))
     nfeat = int(el.get("nfeatures"))
     cal = float(el.get("calibrationFactor"))

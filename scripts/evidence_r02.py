@@ -75,28 +75,68 @@ def section_a(out):
 
 
 def section_b(out):
+    import jax
+
+    from microrts_tpu.bots import minimax as MM
+    from microrts_tpu.bots import portfolio as PF
+    from microrts_tpu.bots import treesearch as TS
+    from microrts_tpu.bots.lsi import lsi_bot
+    from microrts_tpu.bots.puppet import puppet_ab_bot
     from microrts_tpu.config import make_bot
     from microrts_tpu.env.gridnet import GridnetEnv
     from microrts_tpu.eval.tournament import play_matches
     from microrts_tpu.utils.assets import asset_path
 
     env = GridnetEnv(asset_path("maps/8x8/basesWorkers8x8.xml"))
+    on_tpu = jax.devices()[0].platform != "cpu"
+    # CPU runs use the test-proven reduced budgets (the registry defaults
+    # are TPU-scale); each row states its budget
+    bots = {
+        "ABCD": (lambda: MM.abcd_bot(env, max_depth=2, playout_len=24,
+                                     node_budget=160),
+                 "depth 2, playout 24, nodes 160"),
+        "RTMinimax": (lambda: MM.rt_minimax_bot(env, lookahead=25,
+                                                node_budget=160),
+                      "lookahead 25, nodes 160"),
+        "PortfolioAI": (lambda: PF.portfolio_ai_bot(env, lookahead=50),
+                        "4 scripts, lookahead 50"),
+        "PGSAI": (lambda: PF.pgs_bot(env, lookahead=30, slots=8,
+                                     responses=1),
+                  "lookahead 30, 8 slots, 1 response round"),
+        "UCT": (lambda: TS.uct_tree_bot(env, n_playouts=24, max_nodes=48,
+                                        n_candidates=6, playout_len=32),
+                "24 playouts x 32"),
+        "LSI": (lambda: lsi_bot(env, n_probes=16, n_candidates=8,
+                                playout_len=24),
+                "16 probes, 8 candidates"),
+        "NaiveMCTS": (lambda: TS.naive_mcts_bot(
+            env, n_playouts=24, max_nodes=48, max_children=8,
+            playout_len=32), "24 playouts x 32"),
+        "PuppetNoPlan": (lambda: puppet_ab_bot(env), "default"),
+        "SCV": (lambda: make_bot("SCV", env), "default"),
+    }
+    if on_tpu:
+        bots = {n: (lambda n=n: make_bot(n, env), "registry default")
+                for n in ("ABCD", "IDABCD", "RTMinimax", "IDRTMinimax",
+                          "PortfolioAI", "PGSAI", "UCT", "LSI",
+                          "NaiveMCTS", "PuppetNoPlan", "PuppetSearchMCTS",
+                          "SCV", "AHTN")}
     _emit(out, "\n## B. Search bots vs RandomBiasedAI (basesWorkers8x8, "
                "10 games each side, max 600 cycles)\n")
-    _emit(out, "| bot | wins | ties | losses | win% |")
-    _emit(out, "|---|---|---|---|---|")
+    _emit(out, "| bot | budget | wins | ties | losses | win% |")
+    _emit(out, "|---|---|---|---|---|---|")
     rb = make_bot("RandomBiasedAI", env)
-    for name in ("ABCD", "IDABCD", "RTMinimax", "IDRTMinimax",
-                 "PortfolioAI", "PGSAI", "UCT", "LSI", "NaiveMCTS",
-                 "PuppetNoPlan", "PuppetSearchMCTS", "SCV", "AHTN"):
-        bot = make_bot(name, env)
+    for name, (mk, budget) in bots.items():
+        t0 = time.time()
+        bot = mk()
         w0 = play_matches(env, bot, rb, n_games=10, max_cycles=600, seed=5)
         w1 = play_matches(env, rb, bot, n_games=10, max_cycles=600, seed=6)
         wins = int((w0 == 0).sum() + (w1 == 1).sum())
         loss = int((w0 == 1).sum() + (w1 == 0).sum())
         ties = 20 - wins - loss
-        _emit(out, f"| {name} | {wins} | {ties} | {loss} | "
+        _emit(out, f"| {name} | {budget} | {wins} | {ties} | {loss} | "
                    f"{100.0 * wins / 20:.0f}% |")
+        print(f"  [{name}: {time.time()-t0:.0f}s]", flush=True)
 
 
 def section_c(out):
@@ -131,28 +171,33 @@ def section_d(out):
     bs = believe_state_bot(env, inner, level=3)
     po_mc = stateless(po_wrap(env, monte_carlo_bot(env, n_candidates=8,
                                                    playout_len=24)))
-    w = play_matches_stateful(env, bs, po_mc, n_games=10, max_cycles=700,
+    n = 12
+    w = play_matches_stateful(env, bs, po_mc, n_games=n, max_cycles=2000,
                               seed=7)
     wins, loss = int((w == 0).sum()), int((w == 1).sum())
     _emit(out, "\n## D. PO search: BS3(MonteCarlo) vs po-wrapped "
-               "MonteCarlo (basesWorkers8x8, fog on, 10 games)\n")
+               f"MonteCarlo (basesWorkers8x8, fog on, {n} games, "
+               "max 2000 cycles)\n")
     _emit(out, f"BS3 wins {wins}, losses {loss}, "
-               f"draws {10 - wins - loss}.")
+               f"draws {n - wins - loss}.")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--section", nargs="+", default=list("CDBA"))
+    ap.add_argument("--append", action="store_true",
+                    help="append to the artifact instead of restarting it")
     ap.add_argument("-o", "--out", default="RESULTS.md")
     args = ap.parse_args()
     if args.cpu:
         from microrts_tpu.utils.platform import force_cpu
         force_cpu()
     import jax
-    with open(args.out, "w") as f:
-        f.write(HEADER)
-    _emit(args.out, f"\nDevice: {jax.devices()[0].device_kind}.")
+    if not args.append:
+        with open(args.out, "w") as f:
+            f.write(HEADER)
+        _emit(args.out, f"\nDevice: {jax.devices()[0].device_kind}.")
     for s in args.section:
         t0 = time.time()
         getattr(sys.modules[__name__], f"section_{s.lower()}")(args.out)
