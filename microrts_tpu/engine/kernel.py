@@ -147,7 +147,6 @@ class Engine(NamedTuple):
     issue_env: callable       # issue fast path for decode-vetted candidates
     cycle: callable           # (State) -> (State, done bool)
     legal_masks: callable     # (State, player) -> dict of mask planes
-    packed_legal: callable    # (State, player) -> bit-packed mask planes
     winner: callable          # (State) -> int32 (-1 none)
     gameover: callable        # (State) -> bool
 
