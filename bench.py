@@ -10,7 +10,10 @@ measured path (VERDICT r1 "What's weak" #1).
 
 Default: one JSON line for the driver —
   {"metric", "value", "unit", "vs_baseline"}
-measured on basesWorkers16x16, batch 4096, random-vs-random.
+measured on basesWorkers16x16, batch 1024, random-vs-random.
+Batch 1024 is the measured per-chip optimum on the axon v5e: the whole
+batched state stays VMEM-resident (profile shows S(1) buffers), giving
+1.06M steps/s vs 751k at 4096 / 580k at 16384 (scripts/profile_step.py).
 
 ``python bench.py --sweep`` additionally sweeps maps
 {8x8, 16x16, 32x32, 64x64} x batch {1024, 4096, 16384} x actor
@@ -125,7 +128,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", action="store_true",
                     help="full map x batch x actor table -> BENCH_SWEEP.md")
-    ap.add_argument("--num-envs", type=int, default=4096)
+    ap.add_argument("--num-envs", type=int, default=1024)
     ap.add_argument("--scan-len", type=int, default=128)
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
