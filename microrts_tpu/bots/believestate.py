@@ -160,9 +160,9 @@ def believe_state_bot(env: GridnetEnv, inner_bot: Callable, *,
         for t in range(T):
             seen = seen.at[t].set(jnp.any(hidden & (state.utype == t + 1)))
         return BelieveMem(
-            b_utype=jnp.where(hidden, state.utype, 0),
-            b_hp=jnp.where(hidden, state.hp, 0),
-            b_uid=jnp.where(hidden, state.uid, 0),
+            b_utype=jnp.where(hidden, state.utype, 0).astype(jnp.int32),
+            b_hp=jnp.where(hidden, state.hp, 0).astype(jnp.int32),
+            b_uid=jnp.where(hidden, state.uid, 0).astype(jnp.int32),
             seen_type=seen,
             prev=view, prev_vis=vis)
 
@@ -335,7 +335,7 @@ def believe_state_bot(env: GridnetEnv, inner_bot: Callable, *,
             hp=jnp.where(put, mem.b_hp, view.hp),
             uid=jnp.where(put, jnp.where(mem.b_uid > 0, mem.b_uid,
                                          jnp.int32(1 << 20)), view.uid),
-        )
+        ).canon()
 
     def step(state: State, mem: BelieveMem, player, key):
         mem = update(mem, state, player)

@@ -61,7 +61,7 @@ def po_state(state: State, player, cfg: EngineConfig) -> State:
         aticks=jnp.where(keep, state.aticks, 0),
         aorder=jnp.where(keep, state.aorder, 0),
         atime=jnp.where(keep, state.atime, -1),
-    )
+    ).canon()
 
 
 def observation_po(state: State, player, cfg: EngineConfig) -> jax.Array:

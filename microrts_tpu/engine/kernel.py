@@ -110,8 +110,9 @@ def select_dir(stack, param):
 
 
 def stack_b(planes):
-    """Stack bool planes as int32 (Mosaic cannot insert a minor dim of i1);
-    read back with `select_dir(...) != 0` / `imax(...) > 0`."""
+    """Stack bool planes as int32 (Mosaic cannot insert a minor dim of i1;
+    int8 stacks measured SLOWER on the v5e VPU); read back with
+    `select_dir(...) != 0` / `imax(...) > 0`."""
     return jnp.stack([jnp.where(p, 1, 0) for p in planes], axis=-1)
 
 
@@ -450,7 +451,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
             order_ctr=state.order_ctr + 2 * H * W,
             cancel_ctr=state.cancel_ctr
             + (sum2(nconf) if cfg.move_conflict_policy == 3 else 0),
-        )
+        ).canon()
 
     def issue_env(state: State, cand: Candidates) -> State:
         """issueSafe fast path for candidates that came through the env
@@ -495,7 +496,7 @@ def make_engine(cfg: EngineConfig) -> Engine:
             aorder=jnp.where(put, state.order_ctr + cand.rank, state.aorder),
             atime=jnp.where(put, state.time, state.atime),
             order_ctr=state.order_ctr + 2 * H * W,
-        )
+        ).canon()
 
     # ------------------------------------------------------------------
     # cycle (GameState.cycle :553-571 + UnitAction.execute :338-465)
@@ -617,10 +618,11 @@ def make_engine(cfg: EngineConfig) -> Engine:
             alive = (is_stock_n & (state.hp > dmg_pre_ret[d])
                      & (dep_order > q_d[d]))
             ret_valid = ret_valid | (rd & pull(alive, d, fill=False))
+        carried32 = state.carried.astype(jnp.int32)   # sums can pass 2^15
         dep0 = sum2(jnp.where(ret_valid & (state.owner == 0),
-                              state.carried, 0))
+                              carried32, 0))
         dep1 = sum2(jnp.where(ret_valid & (state.owner == 1),
-                              state.carried, 0))
+                              carried32, 0))
 
         # ---- produce: always funded (see module docstring); pay at
         # completion (UnitAction.java:434-463)
@@ -709,7 +711,8 @@ def make_engine(cfg: EngineConfig) -> Engine:
             uid=uid_n, busy=busy_n, atype=atype_n, aparam=aparam_n,
             atx=atx_n, aty=aty_n, aptype=aptype_n, aticks=aticks_n,
             aorder=aorder_n, atime=atime_n, time=state.time + 1,
-            resources=resources_n, next_id=state.next_id + n_born, key=key)
+            resources=resources_n, next_id=state.next_id + n_born,
+            key=key).canon()
         return new_state, gameover(new_state)
 
     # ------------------------------------------------------------------
@@ -765,6 +768,10 @@ def make_engine(cfg: EngineConfig) -> Engine:
         prod_dir = jnp.any(prod_pair, axis=-1)
         prod_type = jnp.any(prod_pair, axis=-2)
 
+        # attack window: per-player pre-masked enemy shifts.  (Shifting
+        # player-independent occupancy+owner planes to enable CSE across
+        # both players' masks + validate was tried and measured SLOWER —
+        # the extra per-offset compares cost more than the sharing saves.)
         enemy = exists & (state.owner >= 0) & (state.owner != me)
         rng2 = tprop(RANGE, t) ** 2
         atk_rel = []

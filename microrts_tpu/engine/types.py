@@ -10,9 +10,16 @@ conflict-scan order (GameState.java:263-319) and completion execution order
 (GameState.java:553-571), is reified as an explicit ``aorder`` plane: a
 monotone issue counter.
 
-All planes are ``int32`` (a deliberate simplicity-first choice; narrowing to
-int16/int8 is a later bandwidth optimization).  One ``State`` is one env;
-batching is ``vmap``.
+Planes carry the NARROWEST dtype their value range allows (``FIELD_DTYPES``):
+the engine step is a flat tail of ~100 bandwidth-bound fusions over these
+planes, so plane bytes are the throughput (measured: the whole batched state
+staying VMEM-resident is worth ~40% at batch 4096 on v5e).  Intermediate
+arithmetic freely promotes to int32; every function that RETURNS a State
+casts back with ``State.canon()``, keeping scan/while carries stable.
+Range notes: ``aparam`` holds NONE durations up to the max ETA (<= produce
+time, 250 < 2^15); ``atx``/``aty`` are absolute coordinates (maps <= 32k);
+``aorder``/``atime``/``uid`` grow monotonically and stay int32.
+One ``State`` is one env; batching is ``vmap``.
 """
 
 from __future__ import annotations
@@ -43,6 +50,17 @@ DIR_Y = (-1, 0, 1, 0)
 
 INF = 1 << 30
 
+# Canonical per-field dtypes (see module docstring).
+FIELD_DTYPES = dict(
+    terrain=jnp.int8, utype=jnp.int8, owner=jnp.int8,
+    hp=jnp.int16, carried=jnp.int16, uid=jnp.int32,
+    busy=jnp.bool_, atype=jnp.int8, aparam=jnp.int16,
+    atx=jnp.int16, aty=jnp.int16, aptype=jnp.int8,
+    aticks=jnp.int16, aorder=jnp.int32, atime=jnp.int32,
+    time=jnp.int32, resources=jnp.int32, next_id=jnp.int32,
+    order_ctr=jnp.int32, cancel_ctr=jnp.int32,
+)
+
 
 class State(struct.PyTreeNode):
     """One env's complete game state (pytree of jnp arrays)."""
@@ -72,6 +90,16 @@ class State(struct.PyTreeNode):
     order_ctr: jax.Array  # int32 issue-order counter
     cancel_ctr: jax.Array  # int32 (unitCancelationCounter, GameState.java:38)
     key: jax.Array       # PRNG key (nondet damage, UnitAction.java:360-375)
+
+    def canon(self) -> "State":
+        """Cast every field back to its canonical dtype (FIELD_DTYPES).
+        Intermediate plane algebra promotes to int32; call this at every
+        State-returning boundary so vmap/scan carries stay stable."""
+        changed = {
+            name: getattr(self, name).astype(dt)
+            for name, dt in FIELD_DTYPES.items()
+            if getattr(self, name).dtype != dt}
+        return self.replace(**changed) if changed else self
 
 
 class Candidates(struct.PyTreeNode):
@@ -192,7 +220,7 @@ def state_from_pgs(pgs: PhysicalGameState, cfg: EngineConfig,
         next_id=jnp.int32(max((u.ID for u in pgs.units), default=-1) + 1),
         order_ctr=jnp.int32(0), cancel_ctr=jnp.int32(0),
         key=jax.random.PRNGKey(seed),
-    )
+    ).canon()
 
 
 def snapshot(state: State):

@@ -181,7 +181,7 @@ def state_from_xml(text: str, utt: UnitTypeTable,
     return state.replace(
         busy=jnp.asarray(busy), atime=jnp.asarray(atime),
         order_ctr=jnp.int32(order),
-        **{k: jnp.asarray(v) for k, v in planes.items()})
+        **{k: jnp.asarray(v) for k, v in planes.items()}).canon()
 
 
 # ----------------------------------------------------------------------

@@ -91,7 +91,7 @@ def state_from_json(text: str, utt: UnitTypeTable,
         atime[u.y, u.x] = issue_time
     return state.replace(
         busy=jnp.asarray(busy), atime=jnp.asarray(atime),
-        **{k: jnp.asarray(v) for k, v in planes.items()})
+        **{k: jnp.asarray(v) for k, v in planes.items()}).canon()
 
 
 def action_to_json(uid: int, a: dict, utt: UnitTypeTable) -> dict:

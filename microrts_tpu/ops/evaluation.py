@@ -110,8 +110,8 @@ def simple_opt_upper_bound(state: State, cfg: EngineConfig):
     """SimpleOptEvaluationFunction.upperBound (:34-54): all reachable
     material of the better-off player, in bonus units."""
     neutral = (state.utype > 0) & (state.owner == -1)
-    free = jnp.sum(jnp.where(neutral, state.carried, 0)) \
-        .astype(jnp.float32)
+    free = jnp.sum(jnp.where(neutral, state.carried, 0)
+                   .astype(jnp.float32))
 
     def reach(player):
         _, mine, _maxhp, cost, bal = _player_planes(state, player, cfg)
@@ -158,8 +158,8 @@ def lanchester_eval(state: State, maxplayer, cfg: EngineConfig,
             1.0, 0.0))
         unit_score = unit_score * jnp.power(jnp.maximum(n_units, 1e-9),
                                             _ORDER - 1.0)
-        carried = jnp.sum(jnp.where(mine, state.carried, 0)) \
-            .astype(jnp.float32)
+        carried = jnp.sum(jnp.where(mine, state.carried, 0)
+                          .astype(jnp.float32))
         return (unit_score + s_build + carried * W["carried"]
                 + bal * W["mined"])
 

@@ -67,20 +67,25 @@ def _mk_state(plane_vals, scalar_vals) -> State:
 
 def _bm_in_state(state: State):
     """State -> list of batch-minor arrays ([H, W, B] planes, [k, B] rows),
-    bools widened to i32 (Mosaic has no i1 loads/stores)."""
+    every plane widened to i32 (Mosaic has no i1 loads/stores and narrow
+    int refs tile poorly; the engine's canonical narrow dtypes are restored
+    inside the kernel body by ``_read_state``)."""
     planes, scalars = _split_state(state)
-    ins = [jnp.moveaxis(jnp.where(p, 1, 0) if p.dtype == jnp.bool_ else p,
-                        0, -1) for p in planes]
+    ins = [jnp.moveaxis(p.astype(jnp.int32), 0, -1) for p in planes]
     ins += [_scalar_bm(f, s) for f, s in zip(SCALAR_FIELDS, scalars)]
     return ins
 
 
 def _read_state(refs):
-    """Kernel-side: refs -> a State whose leaves carry batch at axis -1."""
+    """Kernel-side: refs -> a State whose leaves carry batch at axis -1,
+    restored to canonical dtypes (bool via != 0; the i32<->narrow casts are
+    register-level inside the kernel, not memory traffic)."""
+    from ..engine.types import FIELD_DTYPES
     n_p = len(PLANE_FIELDS)
-    planes = [r[:] for r in refs[:n_p]]
-    planes[PLANE_FIELDS.index("busy")] = \
-        planes[PLANE_FIELDS.index("busy")] != 0
+    planes = []
+    for f, r in zip(PLANE_FIELDS, refs[:n_p]):
+        dt = FIELD_DTYPES[f]
+        planes.append(r[:] != 0 if dt == jnp.bool_ else r[:].astype(dt))
     scalars = []
     for f, r in zip(SCALAR_FIELDS, refs[n_p:]):
         v = r[:]
@@ -90,8 +95,8 @@ def _read_state(refs):
 
 def _write_state(out_refs, state: State):
     planes, scalars = _split_state(state)
-    vals = [jnp.where(p, 1, 0) if p.dtype == jnp.bool_ else p
-            for p in planes]
+    vals = [jnp.where(p, 1, 0) if p.dtype == jnp.bool_
+            else p.astype(jnp.int32) for p in planes]
     vals += [s[None, :] if f in SCALAR_RANK0 else s
              for f, s in zip(SCALAR_FIELDS, scalars)]
     for r, v in zip(out_refs, vals):
@@ -109,10 +114,10 @@ def _state_out_shapes(state: State, H, W, B):
 
 
 def _unpack_state(outs):
+    from ..engine.types import FIELD_DTYPES
     n_p = len(PLANE_FIELDS)
-    planes = [jnp.moveaxis(o, -1, 0) for o in outs[:n_p]]
-    planes[PLANE_FIELDS.index("busy")] = \
-        planes[PLANE_FIELDS.index("busy")].astype(bool)
+    planes = [jnp.moveaxis(o, -1, 0).astype(FIELD_DTYPES[f])
+              for f, o in zip(PLANE_FIELDS, outs[:n_p])]
     scalars = [o[0] if f in SCALAR_RANK0 else o.T
                for f, o in zip(SCALAR_FIELDS, outs[n_p:n_p
                                                    + len(SCALAR_FIELDS)])]
