@@ -350,16 +350,21 @@ def play_matches_stateful(env: GridnetEnv, bot0: StatefulBot,
                           max_cycles: int = 2000, seed: int = 0):
     """Lockstep stateful games (the believe-state analog of
     eval.tournament.play_matches): both bots' memories ride the scan
-    carry.  Returns winners int[n_games] (0, 1, -1)."""
+    carry.  Dispatched in CHUNK-tick slices like eval.tournament (long
+    single dispatches crash the tunneled TPU worker).  Returns winners
+    int[n_games] (0, 1, -1)."""
     import numpy as np
 
-    def one_game(key):
-        s = env.reset(key)
-        m0 = bot0.init(s, 0)
-        m1 = bot1.init(s, 1)
+    from ..eval.tournament import CHUNK
 
-        def body(carry, _):
-            s, m0, m1, done, winner, k = carry
+    def init(key):
+        s = env.reset(key)
+        return (s, bot0.init(s, 0), bot1.init(s, 1), jnp.asarray(False),
+                jnp.int32(-1), key)
+
+    def chunk(carry, length):
+        def body(c, _):
+            s, m0, m1, done, winner, k = c
             k, k0, k1 = jax.random.split(k, 3)
             a0, m0n = bot0.step(s, m0, 0, k0)
             a1, m1n = bot1.step(s, m1, 1, k1)
@@ -373,10 +378,16 @@ def play_matches_stateful(env: GridnetEnv, bot0: StatefulBot,
                                jnp.where(done2, env.engine.winner(s2), -1))
             return (s3, m0, m1, done | done2, winner, k), None
 
-        (s, m0, m1, done, winner, _), _ = jax.lax.scan(
-            body, (s, m0, m1, jnp.asarray(False), jnp.int32(-1), key),
-            None, length=max_cycles)
-        return winner
+        return jax.lax.scan(body, carry, None, length=length)[0]
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_games)
-    return np.asarray(jax.jit(jax.vmap(one_game))(keys))
+    init_v = jax.jit(jax.vmap(init))
+    chunk_v = jax.jit(jax.vmap(chunk, in_axes=(0, None)), static_argnums=1)
+    carry = init_v(jax.random.split(jax.random.PRNGKey(seed), n_games))
+    left = max_cycles
+    while left > 0:
+        n = min(CHUNK, left)
+        carry = chunk_v(carry, n)
+        left -= n
+        if bool(carry[3].all()):
+            break
+    return np.asarray(carry[4])

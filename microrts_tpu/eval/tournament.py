@@ -26,23 +26,30 @@ import numpy as np
 from ..env.gridnet import GridnetEnv
 
 
+CHUNK = 256   # ticks per device dispatch (long single dispatches with
+#               search bots inside crash the tunneled TPU worker)
+
+
 def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int):
-    """Build the jittable batched-game runner for a bot pool.
+    """Build the batched-game runner for a bot pool.
 
     Returns ``run(i, j, keys) -> winners`` where ``i``/``j`` are per-game
     bot-pool indices (player 0 / player 1) and winners are 0, 1, or -1
     (draw / cycle cutoff, Tournament.java:122-197 loop + winner :240).
+    The game loop is dispatched in CHUNK-tick jitted slices with the
+    (state, done, winner) carry on device between slices — identical
+    results to one long scan, but each device call stays short (the
+    tunneled TPU kills multi-minute dispatches) and the host can early-out
+    once every lane is done.
     """
     branches0 = [
         (lambda b: lambda s, k: b(s, 0, k))(b) for b in bots]
     branches1 = [
         (lambda b: lambda s, k: b(s, 1, k))(b) for b in bots]
 
-    def one_game(i, j, key):
-        s = env.reset(key)
-
-        def body(carry, _):
-            s, done, winner, k = carry
+    def chunk(i, j, carry, length):
+        def body(c, _):
+            s, done, winner, k = c
             k, k0, k1 = jax.random.split(k, 3)
             a0 = jax.lax.switch(i, branches0, s, k0)
             a1 = jax.lax.switch(j, branches1, s, k1)
@@ -55,12 +62,27 @@ def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int):
                                              -1))
             return (s3, done | done2, new_winner, k), None
 
-        (s, done, winner, _), _ = jax.lax.scan(
-            body, (s, jnp.asarray(False), jnp.int32(-1), key), None,
-            length=max_cycles)
-        return winner
+        return jax.lax.scan(body, carry, None, length=length)[0]
 
-    return jax.jit(jax.vmap(one_game))
+    def init(key):
+        return (env.reset(key), jnp.asarray(False), jnp.int32(-1), key)
+
+    init_v = jax.jit(jax.vmap(init))
+    chunk_v = jax.jit(jax.vmap(chunk, in_axes=(0, 0, 0, None)),
+                      static_argnums=3)
+
+    def run(i, j, keys):
+        carry = init_v(keys)
+        left = max_cycles
+        while left > 0:
+            n = min(CHUNK, left)
+            carry = chunk_v(i, j, carry, n)
+            left -= n
+            if bool(carry[1].all()):   # every lane finished
+                break
+        return carry[2]
+
+    return run
 
 
 def play_matches(env: GridnetEnv, bot0: Callable, bot1: Callable,
@@ -112,9 +134,10 @@ def round_robin(env: GridnetEnv, bots: Dict[str, Callable],
     """RoundRobinTournament (:22): every ordered pair plays
     ``games_per_pair`` games; with both positions unless disabled.
 
-    The whole tournament is ONE compiled program and ONE device launch:
-    per-game bot indices dispatch through ``lax.switch``, so an n-bot pool
-    costs one compile instead of n*(n-1) (each 2-10 s for this engine)."""
+    The whole tournament is ONE compiled program (per-game bot indices
+    dispatch through ``lax.switch``, so an n-bot pool costs one compile
+    instead of n*(n-1), each 2-10 s for this engine), launched in
+    CHUNK-tick slices with an all-done early-out."""
     names = list(bots)
     n = len(names)
     wins = np.zeros((n, n), np.int64)
