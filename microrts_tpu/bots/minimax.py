@@ -231,6 +231,85 @@ def _make_dfs(env: GridnetEnv, *, alt: bool, max_depth: int,
 
 
 # ----------------------------------------------------------------------
+def sampled_abcd_bot(env: GridnetEnv, k_moves: int = 8,
+                     playout_len: int = 100,
+                     playout_bot: Optional[Callable] = None,
+                     eval_fn: Optional[Callable] = None):
+    """ABCD's search effort re-shaped for SIMD hardware: ONE simultaneous
+    ply of ``k_moves`` sampled consistent joint actions per side, the
+    K x K durative children each rolled out with the Java-default playout
+    policy (WorkerRush both sides, ABCD.java:50, :113-131) for the
+    Java-default 100 ticks — ALL K^2 playouts advance as one vmapped
+    batch — and maximin backup with first-tie-break (:155-163).
+
+    Why this shape: the exact fixed-stack DFS (``abcd_bot``) reproduces
+    the reference's node semantics (mover alternation, alpha-beta,
+    odometer enumeration) and stays the parity path, but under ``vmap``
+    its leaf playout executes on EVERY while-loop trip in every lane
+    (SIMD evaluates both sides of ``lax.cond``), so the budget the Java
+    bot actually plays at (depth 4, 100-tick playouts, unbounded nodes)
+    costs node_budget x playout_len sequential engine ticks per move and
+    cannot batch.  Collapsing the alternation to one simultaneous ply and
+    paying playout_len ONCE across the whole K^2 matrix keeps the same
+    move-quality signal (position after scripted continuation, evaluated
+    by SimpleSqrtEval3) at 1/node_budget of the sequential depth.
+    Candidate 0 of each side is the playout policy's own action (the
+    anytime fallback the DFS also uses); the rest are RandomBiasedAI-
+    weighted legal samples — the sampled counterpart of the odometer's
+    move ordering."""
+    ecfg = env.cfg.engine
+    if eval_fn is None:
+        eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
+    if playout_bot is None:
+        playout_bot = worker_rush(env)
+    from .scripted import random_bot
+    sampler = random_bot(env, 5.0)
+    K = k_moves
+    eng = env.engine
+
+    def bot(state: State, player, key):
+        p = jnp.int32(player)
+        kA, kB, kP = jax.random.split(key, 3)
+
+        def cands(pl, keys):
+            a_script = playout_bot(state, pl, keys[0])
+            a_rand = jax.vmap(lambda k: sampler(state, pl, k))(keys[1:])
+            return jnp.concatenate([a_script[None], a_rand], axis=0)
+
+        mine = cands(p, jax.random.split(kA, K))      # [K, H, W, 7]
+        theirs = cands(1 - p, jax.random.split(kB, K))
+
+        def leaf(a_me, a_op, k):
+            a0 = jnp.where(p == 0, a_me, a_op)
+            a1 = jnp.where(p == 0, a_op, a_me)
+            s1, _, d1 = env.step(state, a0, a1)
+
+            def body(c, _):
+                s, done, kk = c
+                kk, k0, k1 = jax.random.split(kk, 3)
+                s2, _, d2 = env.step(s, playout_bot(s, 0, k0),
+                                     playout_bot(s, 1, k1))
+                s3 = jax.tree.map(
+                    lambda a, b: jnp.where(done, a, b), s, s2)
+                return (s3, done | d2, kk), None
+
+            (sf, _, _), _ = jax.lax.scan(
+                body, (s1, d1, k), None, length=playout_len)
+            return eval_fn(sf, p)
+
+        keys = jax.random.split(kP, K * K).reshape(K, K, -1)
+        V = jax.vmap(lambda am, krow: jax.vmap(
+            lambda ao, kk: leaf(am, ao, kk))(theirs, krow))(mine, keys)
+        best = jnp.argmax(jnp.min(V, axis=1))
+        act = mine[0]
+        for i in range(1, K):   # unrolled select (gathers are slow on TPU)
+            act = jnp.where(best == i, mine[i], act)
+        can = _can_act(state, p) & ~eng.gameover(state)
+        return jnp.where(can, act, jnp.zeros_like(act))
+
+    return bot
+
+
 def abcd_bot(env: GridnetEnv, max_depth: int = 4, playout_len: int = 100,
              node_budget: int = 512,
              playout_bot: Optional[Callable] = None,

@@ -32,10 +32,16 @@ from .scripted import random_bot
 def monte_carlo_bot(env: GridnetEnv, n_candidates: int = 12,
                     playout_len: int = 48,
                     eval_fn: Optional[Callable] = None,
-                    candidate_bias: float = 5.0):
+                    candidate_bias: float = 5.0, n_eval: int = 1):
     """Flat Monte Carlo: sample K candidate actions, play each out with
     RandomBiasedAI on both sides for L ticks (MonteCarlo.java semantics:
-    playout then evaluate), pick the argmax candidate."""
+    playout then evaluate), pick the argmax candidate.
+
+    ``n_eval > 1`` evaluates each candidate as the MEAN of that many
+    playouts, all K*n_eval running as one vmapped batch — the Java bot
+    buys variance reduction with sequential budget (its ITERATIONS loop
+    revisits actions, MonteCarlo.java); here it is batch width at the
+    same wall-clock per move."""
     ecfg = env.cfg.engine
     if eval_fn is None:
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
@@ -63,9 +69,14 @@ def monte_carlo_bot(env: GridnetEnv, n_candidates: int = 12,
         keys = jax.random.split(key, n_candidates + 1)
         cands = jax.vmap(lambda k: sampler(state, player, k))(
             keys[:n_candidates])
-        values = jax.vmap(
-            lambda c, k: playout_value(state, c, player, k))(
-                cands, jax.random.split(keys[-1], n_candidates))
+
+        def value(c, k):
+            vs = jax.vmap(lambda kk: playout_value(state, c, player, kk))(
+                jax.random.split(k, n_eval))
+            return jnp.mean(vs)
+
+        values = jax.vmap(value)(
+            cands, jax.random.split(keys[-1], n_candidates))
         best = jnp.argmax(values)
         return cands[best]
 

@@ -113,13 +113,19 @@ def _advance(env: GridnetEnv, s: State, max_wait: int = 512):
 
 
 def _make_playout(env: GridnetEnv, playout_len: int, eval_fn, gamma: float,
-                  rollout_bot=None):
+                  rollout_bot=None, n_eval: int = 1):
     """playout + eval from any (possibly mid-tick) state; returns the
     evaluation from ``player``'s perspective discounted by 0.99^(Δt/10)
     from ``t0`` (NaiveMCTS.iteration:200-206).  Default rollout policy is
     the RandomBiasedAI analog; ABCD passes WorkerRush (ABCD.java:50-52).
     ``gamma=1.0`` disables discounting; ``playout_len=0`` evaluates the
-    state directly (the minimax leaf)."""
+    state directly (the minimax leaf).
+
+    ``n_eval > 1`` runs that many playouts from the leaf IN PARALLEL
+    (vmapped over keys) and returns their mean — the TPU-shaped way to
+    buy value accuracy: the Java bots buy it with thousands of sequential
+    iterations; here extra playouts per iteration are batch width at the
+    SAME wall-clock cost per move."""
     rollout = rollout_bot if rollout_bot is not None else random_bot(env, 5.0)
 
     def playout(s: State, player, t0, key):
@@ -138,7 +144,15 @@ def _make_playout(env: GridnetEnv, playout_len: int, eval_fn, gamma: float,
         dt = (sf.time - t0).astype(jnp.float32)
         return v * jnp.power(jnp.float32(gamma), dt / 10.0)
 
-    return playout
+    if n_eval <= 1:
+        return playout
+
+    def playout_wide(s: State, player, t0, key):
+        vs = jax.vmap(lambda k: playout(s, player, t0, k))(
+            jax.random.split(key, n_eval))
+        return jnp.mean(vs)
+
+    return playout_wide
 
 
 # ======================================================================
@@ -169,7 +183,7 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
                    local_policy: str = "egreedy", ucb_c: float = 0.05,
                    rollout_bot: Optional[Callable] = None,
                    phase2: Optional[tuple] = None,
-                   phase1_ratio: float = 0.5):
+                   phase1_ratio: float = 0.5, n_eval: int = 1):
     """NaiveMCTS (ai/mcts/naivemcts/NaiveMCTS.java) with per-unit CMAB
     tables and a bounded batched tree.  Budgets are static (the Java
     ITERATIONS_BUDGET analog is ``n_playouts``; TIME_BUDGET has no analog
@@ -193,7 +207,8 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
     N, C, D = max_nodes, max_children, max_depth
     if eval_fn is None:
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
-    playout = _make_playout(env, playout_len, eval_fn, gamma, rollout_bot)
+    playout = _make_playout(env, playout_len, eval_fn, gamma, rollout_bot,
+                            n_eval=n_eval)
 
     def init_tree(state: State, player) -> _NaiveTree:
         return _NaiveTree(
@@ -458,7 +473,7 @@ def uct_tree_bot(env: GridnetEnv, n_playouts: int = 64,
                  max_depth: int = 8, playout_len: int = 64,
                  c_uct: float = 0.7, gamma: float = 0.99,
                  eval_fn: Optional[Callable] = None,
-                 fpu: Optional[float] = None):
+                 fpu: Optional[float] = None, n_eval: int = 1):
     """UCT over a downsampled move set with REAL tree growth
     (ai/mcts/uct/DownsamplingUCT.java + UCTNode tree semantics): each node
     carries K uniformly sampled candidate joint actions; unexplored
@@ -475,7 +490,8 @@ def uct_tree_bot(env: GridnetEnv, n_playouts: int = 64,
     N, K, D = max_nodes, n_candidates, max_depth
     if eval_fn is None:
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
-    playout = _make_playout(env, playout_len, eval_fn, gamma)
+    playout = _make_playout(env, playout_len, eval_fn, gamma,
+                            n_eval=n_eval)
 
     def sample_cands(s: State, p, key):
         m = env.engine.legal_masks(s, p)

@@ -223,7 +223,11 @@ def make_bot(name: str, env) -> "callable":
             "UCT": lambda: TS.uct_tree_bot(env),
             "DownsamplingUCT": lambda: TS.uct_tree_bot(env,
                                                        n_candidates=4),
-            "ABCD": lambda: MM.abcd_bot(env),
+            # default ABCD budget-shape = one simultaneous ply of K sampled
+            # joint actions, K^2 batched 100-tick WorkerRush playouts,
+            # maximin (see sampled_abcd_bot docstring); MM.abcd_bot is the
+            # exact fixed-stack DFS (alternation + alpha-beta + odometer)
+            "ABCD": lambda: MM.sampled_abcd_bot(env),
             "IDABCD": lambda: MM.id_abcd_bot(env),
             "RTMinimax": lambda: MM.rt_minimax_bot(env),
             "IDRTMinimax": lambda: MM.idrt_minimax_bot(env),

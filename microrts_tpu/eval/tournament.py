@@ -26,11 +26,14 @@ import numpy as np
 from ..env.gridnet import GridnetEnv
 
 
-CHUNK = 256   # ticks per device dispatch (long single dispatches with
-#               search bots inside crash the tunneled TPU worker)
+CHUNK = 256   # default ticks per device dispatch (long single dispatches
+#               crash the tunneled TPU worker; pass a smaller ``chunk`` for
+#               search bots whose per-tick cost is itself hundreds of
+#               engine ticks of playout)
 
 
-def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int):
+def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int,
+              chunk: int = CHUNK):
     """Build the batched-game runner for a bot pool.
 
     Returns ``run(i, j, keys) -> winners`` where ``i``/``j`` are per-game
@@ -47,7 +50,7 @@ def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int):
     branches1 = [
         (lambda b: lambda s, k: b(s, 1, k))(b) for b in bots]
 
-    def chunk(i, j, carry, length):
+    def chunk_fn(i, j, carry, length):
         def body(c, _):
             s, done, winner, k = c
             k, k0, k1 = jax.random.split(k, 3)
@@ -68,14 +71,14 @@ def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int):
         return (env.reset(key), jnp.asarray(False), jnp.int32(-1), key)
 
     init_v = jax.jit(jax.vmap(init))
-    chunk_v = jax.jit(jax.vmap(chunk, in_axes=(0, 0, 0, None)),
+    chunk_v = jax.jit(jax.vmap(chunk_fn, in_axes=(0, 0, 0, None)),
                       static_argnums=3)
 
     def run(i, j, keys):
         carry = init_v(keys)
         left = max_cycles
         while left > 0:
-            n = min(CHUNK, left)
+            n = min(chunk, left)
             carry = chunk_v(i, j, carry, n)
             left -= n
             if bool(carry[1].all()):   # every lane finished
@@ -87,14 +90,30 @@ def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int):
 
 def play_matches(env: GridnetEnv, bot0: Callable, bot1: Callable,
                  n_games: int, max_cycles: int = 2000,
-                 seed: int = 0) -> np.ndarray:
+                 seed: int = 0, chunk: int = CHUNK) -> np.ndarray:
     """Run n_games lockstep games of bot0 (player 0) vs bot1 (player 1).
     Returns winners int[n_games]: 0, 1, or -1 (draw / cycle cutoff)."""
-    run = _games_fn(env, [bot0, bot1], max_cycles)
+    run = _games_fn(env, [bot0, bot1], max_cycles, chunk)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_games)
     i = jnp.zeros(n_games, jnp.int32)
     j = jnp.ones(n_games, jnp.int32)
     return np.asarray(run(i, j, keys))
+
+
+def play_matches_both(env: GridnetEnv, bot0: Callable, bot1: Callable,
+                      n_games: int, max_cycles: int = 2000,
+                      seed: int = 0, chunk: int = CHUNK):
+    """Both orderings in ONE compiled program: ``n_games`` lanes of
+    bot0-vs-bot1 plus ``n_games`` lanes of bot1-vs-bot0 (the two-position
+    pairing of Tournament.java).  Returns (w01, w10) winner vectors in
+    the respective lane order — one compile instead of two."""
+    run = _games_fn(env, [bot0, bot1], max_cycles, chunk)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 2 * n_games)
+    i = jnp.concatenate([jnp.zeros(n_games, jnp.int32),
+                         jnp.ones(n_games, jnp.int32)])
+    j = 1 - i
+    w = np.asarray(run(i, j, keys))
+    return w[:n_games], w[n_games:]
 
 
 @dataclasses.dataclass
@@ -129,8 +148,8 @@ class TournamentResult:
 
 def round_robin(env: GridnetEnv, bots: Dict[str, Callable],
                 games_per_pair: int = 4, max_cycles: int = 2000,
-                seed: int = 0, play_both_positions: bool = True
-                ) -> TournamentResult:
+                seed: int = 0, play_both_positions: bool = True,
+                chunk: int = CHUNK) -> TournamentResult:
     """RoundRobinTournament (:22): every ordered pair plays
     ``games_per_pair`` games; with both positions unless disabled.
 
@@ -146,7 +165,7 @@ def round_robin(env: GridnetEnv, bots: Dict[str, Callable],
     pairs = [(i, j) for i in range(n) for j in range(n) if i != j] \
         if play_both_positions else list(itertools.combinations(range(n), 2))
 
-    run = _games_fn(env, [bots[nm] for nm in names], max_cycles)
+    run = _games_fn(env, [bots[nm] for nm in names], max_cycles, chunk)
     ii = np.repeat([p[0] for p in pairs], games_per_pair).astype(np.int32)
     jj = np.repeat([p[1] for p in pairs], games_per_pair).astype(np.int32)
     keys = jax.vmap(jax.random.fold_in, (None, 0))(
