@@ -347,7 +347,8 @@ def believe_state_bot(env: GridnetEnv, inner_bot: Callable, *,
 
 def play_matches_stateful(env: GridnetEnv, bot0: StatefulBot,
                           bot1: StatefulBot, n_games: int,
-                          max_cycles: int = 2000, seed: int = 0):
+                          max_cycles: int = 2000, seed: int = 0,
+                          chunk: int = None):
     """Lockstep stateful games (the believe-state analog of
     eval.tournament.play_matches): both bots' memories ride the scan
     carry.  Dispatched in CHUNK-tick slices like eval.tournament (long
@@ -356,6 +357,8 @@ def play_matches_stateful(env: GridnetEnv, bot0: StatefulBot,
     import numpy as np
 
     from ..eval.tournament import CHUNK
+    if chunk is None:
+        chunk = CHUNK
 
     def init(key):
         s = env.reset(key)
@@ -385,7 +388,7 @@ def play_matches_stateful(env: GridnetEnv, bot0: StatefulBot,
     carry = init_v(jax.random.split(jax.random.PRNGKey(seed), n_games))
     left = max_cycles
     while left > 0:
-        n = min(CHUNK, left)
+        n = min(chunk, left)
         carry = chunk_v(carry, n)
         left -= n
         if bool(carry[3].all()):

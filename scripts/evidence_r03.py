@@ -70,9 +70,14 @@ def _bot_table(env):
     return {
         "ABCD": (lambda: MM.sampled_abcd_bot(env),
                  "K=8 joint moves, 8x8 batched 100-tick playouts, maximin"),
-        "PGSAI": (lambda: PF.pgs_bot(env, lookahead=100, slots=8,
-                                     responses=1),
-                  "lookahead 100, 8 slots, 1 response round"),
+        # PGS wall cost per game tick = (1 + 2*responses) improve sweeps
+        # x slots x lookahead SEQUENTIAL ticks (the slot fori_loop cannot
+        # batch) — lookahead 100/slots 8/responses 1 measured ~hours per
+        # 16-game row; this budget keeps the greedy improve signal at
+        # ~1/8 the wall cost
+        "PGSAI": (lambda: PF.pgs_bot(env, lookahead=64, slots=6,
+                                     responses=0),
+                  "lookahead 64, 6 slots, 0 response rounds"),
         "UCT": (lambda: TS.uct_tree_bot(env, n_playouts=24, max_nodes=48,
                                         n_candidates=6, playout_len=64,
                                         n_eval=4),
@@ -134,23 +139,25 @@ def section_a(out):
     from microrts_tpu.eval.tournament import round_robin
 
     env = _env8()
-    # equal budget: 24 playout iterations x 32 ticks per move; the two
-    # bots that support it widen each evaluation by 4 parallel playouts
+    # equal budget: 16 playout iterations x 32 ticks per move; the two
+    # bots that support it widen each evaluation by 4 parallel playouts.
+    # (Every lane of the round-robin switch pays all three bots' per-tick
+    # cost, so the budget is sized for the tunnel's dispatch tolerance.)
     bots = {
-        "NaiveMCTS": naive_mcts_bot(env, max_nodes=48, max_children=8,
-                                    max_depth=6, n_playouts=24,
+        "NaiveMCTS": naive_mcts_bot(env, max_nodes=32, max_children=8,
+                                    max_depth=5, n_playouts=16,
                                     playout_len=32, n_eval=4),
-        "MonteCarlo": monte_carlo_bot(env, n_candidates=24, playout_len=32,
+        "MonteCarlo": monte_carlo_bot(env, n_candidates=16, playout_len=32,
                                       n_eval=4),
-        "NaiveSampling": naive_sampling_bot(env, n_rounds=24,
+        "NaiveSampling": naive_sampling_bot(env, n_rounds=16,
                                             playout_len=32),
     }
     t0 = time.time()
-    res = round_robin(env, bots, games_per_pair=6, max_cycles=1500,
+    res = round_robin(env, bots, games_per_pair=4, max_cycles=1200,
                       seed=11, chunk=16)
     _emit(out, "\n## A. NaiveMCTS vs playout searchers (basesWorkers8x8, "
-               "equal budget: 24 iterations x 32-tick playouts/move, "
-               f"6 games/ordered pair, max 1500 cycles, "
+               "equal budget: 16 iterations x 32-tick playouts/move, "
+               f"4 games/ordered pair, max 1200 cycles, "
                f"{time.time() - t0:.0f}s)\n")
     _emit(out, "```\n" + res.table() + "\n```")
 
@@ -163,18 +170,18 @@ def section_d(out):
     from microrts_tpu.bots.search import monte_carlo_bot
 
     env = _env8()
-    mk = lambda: monte_carlo_bot(env, n_candidates=16, playout_len=64,
+    mk = lambda: monte_carlo_bot(env, n_candidates=16, playout_len=48,
                                  n_eval=4)
     bs = believe_state_bot(env, mk(), level=3)
     po_mc = stateless(po_wrap(env, mk()))
     n = 16
     t0 = time.time()
-    w = play_matches_stateful(env, bs, po_mc, n_games=n, max_cycles=2000,
-                              seed=7)
+    w = play_matches_stateful(env, bs, po_mc, n_games=n, max_cycles=1500,
+                              seed=7, chunk=16)
     wins, loss = int((w == 0).sum()), int((w == 1).sum())
-    _emit(out, "\n## D. PO search: BS3(MonteCarlo 16x64x4) vs po-wrapped "
+    _emit(out, "\n## D. PO search: BS3(MonteCarlo 16x48x4) vs po-wrapped "
                f"MonteCarlo (same budget; basesWorkers8x8, fog on, {n} "
-               f"games, max 2000 cycles, {time.time() - t0:.0f}s)\n")
+               f"games, max 1500 cycles, {time.time() - t0:.0f}s)\n")
     _emit(out, f"BS3 wins {wins}, losses {loss}, draws {n - wins - loss}.")
 
 
