@@ -365,7 +365,7 @@ def play_matches_stateful(env: GridnetEnv, bot0: StatefulBot,
         return (s, bot0.init(s, 0), bot1.init(s, 1), jnp.asarray(False),
                 jnp.int32(-1), key)
 
-    def chunk(carry, length):
+    def chunk_fn(carry, length):
         def body(c, _):
             s, m0, m1, done, winner, k = c
             k, k0, k1 = jax.random.split(k, 3)
@@ -384,7 +384,8 @@ def play_matches_stateful(env: GridnetEnv, bot0: StatefulBot,
         return jax.lax.scan(body, carry, None, length=length)[0]
 
     init_v = jax.jit(jax.vmap(init))
-    chunk_v = jax.jit(jax.vmap(chunk, in_axes=(0, None)), static_argnums=1)
+    chunk_v = jax.jit(jax.vmap(chunk_fn, in_axes=(0, None)),
+                      static_argnums=1)
     carry = init_v(jax.random.split(jax.random.PRNGKey(seed), n_games))
     left = max_cycles
     while left > 0:

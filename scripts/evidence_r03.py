@@ -144,20 +144,20 @@ def section_a(out):
     # (Every lane of the round-robin switch pays all three bots' per-tick
     # cost, so the budget is sized for the tunnel's dispatch tolerance.)
     bots = {
-        "NaiveMCTS": naive_mcts_bot(env, max_nodes=32, max_children=8,
-                                    max_depth=5, n_playouts=16,
-                                    playout_len=32, n_eval=4),
-        "MonteCarlo": monte_carlo_bot(env, n_candidates=16, playout_len=32,
+        "NaiveMCTS": naive_mcts_bot(env, max_nodes=24, max_children=6,
+                                    max_depth=4, n_playouts=12,
+                                    playout_len=24, n_eval=4),
+        "MonteCarlo": monte_carlo_bot(env, n_candidates=12, playout_len=24,
                                       n_eval=4),
-        "NaiveSampling": naive_sampling_bot(env, n_rounds=16,
-                                            playout_len=32),
+        "NaiveSampling": naive_sampling_bot(env, n_rounds=12,
+                                            playout_len=24),
     }
     t0 = time.time()
-    res = round_robin(env, bots, games_per_pair=4, max_cycles=1200,
-                      seed=11, chunk=16)
+    res = round_robin(env, bots, games_per_pair=3, max_cycles=900,
+                      seed=11, chunk=12)
     _emit(out, "\n## A. NaiveMCTS vs playout searchers (basesWorkers8x8, "
-               "equal budget: 16 iterations x 32-tick playouts/move, "
-               f"4 games/ordered pair, max 1200 cycles, "
+               "equal budget: 12 iterations x 24-tick playouts/move, "
+               f"3 games/ordered pair, max 900 cycles, "
                f"{time.time() - t0:.0f}s)\n")
     _emit(out, "```\n" + res.table() + "\n```")
 
