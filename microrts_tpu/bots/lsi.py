@@ -45,6 +45,7 @@ from ..env.gridnet import GridnetEnv
 from ..ops.arms import (arm_masks, arm_space, arms_to_action, one_hot_arms,
                         sample_arms)
 from ..ops.evaluation import simple_sqrt_eval3
+from ..ops.playout import make_playout
 from .scripted import random_bot
 
 EPS = 0.01  # NORMALIZATION_EPSILON (LSI.java:43)
@@ -52,7 +53,8 @@ EPS = 0.01  # NORMALIZATION_EPSILON (LSI.java:43)
 
 def lsi_bot(env: GridnetEnv, n_probes: int = 24, n_candidates: int = 8,
             eval_per_round: int = 2, playout_len: int = 48,
-            eval_fn: Optional[Callable] = None):
+            eval_fn: Optional[Callable] = None,
+            n_decisions: Optional[int] = None):
     """LSI bot.  Budget analog of ITERATIONS_BUDGET*split = ``n_probes``
     generation playouts; the evaluation stage plays
     ``eval_per_round * sum_r N/2^r`` playouts over ``log2(n_candidates)``
@@ -65,25 +67,19 @@ def lsi_bot(env: GridnetEnv, n_probes: int = 24, n_candidates: int = 8,
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
     rollout = random_bot(env, 5.0)
     rounds = max(1, n_candidates.bit_length() - 1)
+    cont = make_playout(env, playout_len, eval_fn, gamma=1.0,
+                        rollout_bot=rollout, n_decisions=n_decisions)
 
     def playout_value(state, cand_action, player, key):
-        """First tick: candidate vs RandomBiased; then RandomBiased both
-        sides (Sampling.evaluatePlayerAction semantics)."""
+        """First tick: candidate vs RandomBiased; then the shared
+        fast-forward playout (Sampling.evaluatePlayerAction semantics)."""
         k0, key = jax.random.split(key)
         opp = rollout(state, 1 - player, k0)
         s, _, _ = env.step(
             state,
             jnp.where(jnp.int32(player) == 0, cand_action, opp),
             jnp.where(jnp.int32(player) == 0, opp, cand_action))
-
-        def body(carry, _):
-            s, k = carry
-            k, k1, k2 = jax.random.split(k, 3)
-            s, _, _ = env.step(s, rollout(s, 0, k1), rollout(s, 1, k2))
-            return (s, k), None
-
-        (s, _), _ = jax.lax.scan(body, (s, key), None, length=playout_len)
-        return eval_fn(s, player)
+        return cont(s, player, state.time, key)
 
     def bot(state: State, player, key):
         m = env.engine.legal_masks(state, player)

@@ -234,7 +234,8 @@ def _make_dfs(env: GridnetEnv, *, alt: bool, max_depth: int,
 def sampled_abcd_bot(env: GridnetEnv, k_moves: int = 8,
                      playout_len: int = 100,
                      playout_bot: Optional[Callable] = None,
-                     eval_fn: Optional[Callable] = None):
+                     eval_fn: Optional[Callable] = None,
+                     n_decisions: Optional[int] = None):
     """ABCD's search effort re-shaped for SIMD hardware: ONE simultaneous
     ply of ``k_moves`` sampled consistent joint actions per side, the
     K x K durative children each rolled out with the Java-default playout
@@ -266,6 +267,8 @@ def sampled_abcd_bot(env: GridnetEnv, k_moves: int = 8,
     sampler = random_bot(env, 5.0)
     K = k_moves
     eng = env.engine
+    cont = _make_playout(env, playout_len, eval_fn, 1.0, playout_bot,
+                         n_decisions=n_decisions)
 
     def bot(state: State, player, key):
         p = jnp.int32(player)
@@ -282,20 +285,8 @@ def sampled_abcd_bot(env: GridnetEnv, k_moves: int = 8,
         def leaf(a_me, a_op, k):
             a0 = jnp.where(p == 0, a_me, a_op)
             a1 = jnp.where(p == 0, a_op, a_me)
-            s1, _, d1 = env.step(state, a0, a1)
-
-            def body(c, _):
-                s, done, kk = c
-                kk, k0, k1 = jax.random.split(kk, 3)
-                s2, _, d2 = env.step(s, playout_bot(s, 0, k0),
-                                     playout_bot(s, 1, k1))
-                s3 = jax.tree.map(
-                    lambda a, b: jnp.where(done, a, b), s, s2)
-                return (s3, done | d2, kk), None
-
-            (sf, _, _), _ = jax.lax.scan(
-                body, (s1, d1, k), None, length=playout_len)
-            return eval_fn(sf, p)
+            s1, _, _ = env.step(state, a0, a1)
+            return cont(s1, p, state.time, k)
 
         keys = jax.random.split(kP, K * K).reshape(K, K, -1)
         V = jax.vmap(lambda am, krow: jax.vmap(

@@ -39,39 +39,25 @@ import jax.numpy as jnp
 from ..engine.types import State
 from ..env.gridnet import GridnetEnv
 from ..ops.evaluation import simple_sqrt_eval3
+from ..ops.playout import make_playout_two
 from .scripted import (heavy_rush, light_rush, random_bot, ranged_rush,
                        worker_rush)
 
 
-def _playout_two(env: GridnetEnv, lookahead: int, eval_fn):
-    """Playout with two action-providers + eval from ``player``'s view.
-    ``me``/``opp`` are (state, key) -> [H, W, 7] planes already bound to
-    their player id."""
-
-    def run(state: State, player, me: Callable, opp: Callable, key):
-        def body(carry, _):
-            s, done, k = carry
-            k, k0, k1 = jax.random.split(k, 3)
-            am = me(s, k0)
-            ao = opp(s, k1)
-            a0 = jnp.where(player == 0, am, ao)
-            a1 = jnp.where(player == 0, ao, am)
-            s2, _, d2 = env.step(s, a0, a1)
-            s3 = jax.tree.map(lambda a, b: jnp.where(done, a, b), s, s2)
-            return (s3, done | d2, k), None
-
-        (sf, _, _), _ = jax.lax.scan(
-            body, (state, env.engine.gameover(state), key), None,
-            length=lookahead)
-        return eval_fn(sf, player)
-
-    return run
+def _playout_two(env: GridnetEnv, lookahead: int, eval_fn,
+                 n_decisions=None):
+    """Two-policy fast-forward playout (ops/playout.py): actor work only
+    at decision points.  ``me``/``opp`` are (state, key) -> [H, W, 7]
+    planes already bound to their player id."""
+    return make_playout_two(env, lookahead, eval_fn,
+                            n_decisions=n_decisions)
 
 
 def portfolio_ai_bot(env: GridnetEnv,
                      strategies: Optional[Sequence[Callable]] = None,
                      lookahead: int = 100, n_eval: int = 1,
-                     eval_fn: Optional[Callable] = None):
+                     eval_fn: Optional[Callable] = None,
+                     n_decisions: Optional[int] = None):
     """PortfolioAI (ai/portfolio/PortfolioAI.java).  Default portfolio
     mirrors Java: WorkerRush, LightRush, RangedRush, RandomBiasedAI
     (:44-52); selection is maximin over mean pair scores (:163-181)."""
@@ -84,7 +70,7 @@ def portfolio_ai_bot(env: GridnetEnv,
     K = len(strategies)
     branches = [(lambda b: lambda s, p, k: b(s, p, k))(b)
                 for b in strategies]
-    playout = _playout_two(env, lookahead, eval_fn)
+    playout = _playout_two(env, lookahead, eval_fn, n_decisions)
 
     def bot(state: State, player, key):
         p = jnp.int32(player)
@@ -111,7 +97,8 @@ def portfolio_ai_bot(env: GridnetEnv,
 def pgs_bot(env: GridnetEnv,
             scripts: Optional[Sequence[Callable]] = None,
             lookahead: int = 100, responses: int = 1, slots: int = 24,
-            eval_fn: Optional[Callable] = None):
+            eval_fn: Optional[Callable] = None,
+            n_decisions: Optional[int] = None):
     """Portfolio Greedy Search (PGSAI.java:136-270)."""
     ecfg = env.cfg.engine
     if eval_fn is None:
@@ -121,7 +108,7 @@ def pgs_bot(env: GridnetEnv,
                    ranged_rush(env)]
     K = len(scripts)
     M = slots
-    playout = _playout_two(env, lookahead, eval_fn)
+    playout = _playout_two(env, lookahead, eval_fn, n_decisions)
 
     def mixed_action(state: State, p, assign, key):
         """Per-cell select over every script's action plane by the cell

@@ -26,13 +26,15 @@ import jax.numpy as jnp
 from ..engine.types import State
 from ..env.gridnet import GridnetEnv
 from ..ops.evaluation import simple_sqrt_eval3
+from ..ops.playout import make_playout
 from .scripted import random_bot
 
 
 def monte_carlo_bot(env: GridnetEnv, n_candidates: int = 12,
                     playout_len: int = 48,
                     eval_fn: Optional[Callable] = None,
-                    candidate_bias: float = 5.0, n_eval: int = 1):
+                    candidate_bias: float = 5.0, n_eval: int = 1,
+                    n_decisions: Optional[int] = None):
     """Flat Monte Carlo: sample K candidate actions, play each out with
     RandomBiasedAI on both sides for L ticks (MonteCarlo.java semantics:
     playout then evaluate), pick the argmax candidate.
@@ -47,23 +49,18 @@ def monte_carlo_bot(env: GridnetEnv, n_candidates: int = 12,
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
     sampler = random_bot(env, candidate_bias)
     rollout_policy = random_bot(env, 5.0)
+    cont = make_playout(env, playout_len, eval_fn, gamma=1.0,
+                        rollout_bot=rollout_policy, n_decisions=n_decisions)
 
     def playout_value(state, cand_action, player, key):
+        # first tick: candidate vs rollout policy, then the shared
+        # fast-forward playout continues from the post-candidate state
         k0, key = jax.random.split(key)
         opp = rollout_policy(state, 1 - player, k0)
         s, _, _ = env.step(state,
                            jnp.where(jnp.int32(player) == 0, cand_action, opp),
                            jnp.where(jnp.int32(player) == 0, opp, cand_action))
-
-        def body(carry, _):
-            s, k = carry
-            k, k1, k2 = jax.random.split(k, 3)
-            s, _, _ = env.step(s, rollout_policy(s, 0, k1),
-                               rollout_policy(s, 1, k2))
-            return (s, k), None
-
-        (s, _), _ = jax.lax.scan(body, (s, key), None, length=playout_len)
-        return eval_fn(s, player)
+        return cont(s, player, state.time, key)
 
     def bot(state: State, player, key):
         keys = jax.random.split(key, n_candidates + 1)
@@ -85,7 +82,8 @@ def monte_carlo_bot(env: GridnetEnv, n_candidates: int = 12,
 
 def naive_sampling_bot(env: GridnetEnv, n_rounds: int = 16,
                        playout_len: int = 48, epsilon: float = 0.33,
-                       eval_fn: Optional[Callable] = None):
+                       eval_fn: Optional[Callable] = None,
+                       n_decisions: Optional[int] = None):
     """Iterated hill-climbing on JOINT actions: each round proposes a
     candidate that keeps the best joint action so far and epsilon-mutates
     per-cell components, playouts it once, and keeps it iff the (scalar)
@@ -100,6 +98,8 @@ def naive_sampling_bot(env: GridnetEnv, n_rounds: int = 16,
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
     sampler = random_bot(env, 5.0)
     rollout_policy = random_bot(env, 5.0)
+    cont = make_playout(env, playout_len, eval_fn, gamma=1.0,
+                        rollout_bot=rollout_policy, n_decisions=n_decisions)
 
     def playout_value(state, cand_action, player, key):
         k0, key = jax.random.split(key)
@@ -107,16 +107,7 @@ def naive_sampling_bot(env: GridnetEnv, n_rounds: int = 16,
         s, _, _ = env.step(state,
                            jnp.where(jnp.int32(player) == 0, cand_action, opp),
                            jnp.where(jnp.int32(player) == 0, opp, cand_action))
-
-        def body(carry, _):
-            s, k = carry
-            k, k1, k2 = jax.random.split(k, 3)
-            s, _, _ = env.step(s, rollout_policy(s, 0, k1),
-                               rollout_policy(s, 1, k2))
-            return (s, k), None
-
-        (s, _), _ = jax.lax.scan(body, (s, key), None, length=playout_len)
-        return eval_fn(s, player)
+        return cont(s, player, state.time, key)
 
     def bot(state: State, player, key):
         def round_body(carry, k):
@@ -147,7 +138,8 @@ def naive_sampling_bot(env: GridnetEnv, n_rounds: int = 16,
 
 def uct_bot(env: GridnetEnv, n_candidates: int = 8, n_rounds: int = 24,
             playout_len: int = 48, c_uct: float = 1.4,
-            eval_fn: Optional[Callable] = None):
+            eval_fn: Optional[Callable] = None,
+            n_decisions: Optional[int] = None):
     """DownsamplingUCT (ai/mcts/uct/DownsamplingUCT.java pattern): sample a
     fixed candidate subset of the joint action space, then run UCB1 bandit
     rounds over it — each visit is one playout — and return the most-
@@ -157,6 +149,8 @@ def uct_bot(env: GridnetEnv, n_candidates: int = 8, n_rounds: int = 24,
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
     sampler = random_bot(env, 5.0)
     rollout_policy = random_bot(env, 5.0)
+    cont = make_playout(env, playout_len, eval_fn, gamma=1.0,
+                        rollout_bot=rollout_policy, n_decisions=n_decisions)
 
     def playout_value(state, cand_action, player, key):
         k0, key = jax.random.split(key)
@@ -164,16 +158,7 @@ def uct_bot(env: GridnetEnv, n_candidates: int = 8, n_rounds: int = 24,
         s, _, _ = env.step(state,
                            jnp.where(jnp.int32(player) == 0, cand_action, opp),
                            jnp.where(jnp.int32(player) == 0, opp, cand_action))
-
-        def body(carry, _):
-            s, k = carry
-            k, k1, k2 = jax.random.split(k, 3)
-            s, _, _ = env.step(s, rollout_policy(s, 0, k1),
-                               rollout_policy(s, 1, k2))
-            return (s, k), None
-
-        (s, _), _ = jax.lax.scan(body, (s, key), None, length=playout_len)
-        return (eval_fn(s, player) + 1.0) * 0.5
+        return (cont(s, player, state.time, key) + 1.0) * 0.5
 
     def bot(state, player, key):
         kc, kr = jax.random.split(key)

@@ -52,6 +52,9 @@ from ..env.gridnet import GridnetEnv
 from ..ops.arms import (ArmSpace, arm_masks, arm_space, arms_to_action,
                         one_hot_arms, sample_arms)
 from ..ops.evaluation import simple_sqrt_eval3
+from ..ops.playout import can_act as _po_can_act
+from ..ops.playout import fast_forward
+from ..ops.playout import make_playout as _shared_make_playout
 from .scripted import random_bot
 
 
@@ -76,11 +79,7 @@ def _stack_state(s: State, n: int) -> State:
         lambda x: jnp.broadcast_to(x, (n,) + x.shape), s)
 
 
-def _can_act(s: State, player) -> jax.Array:
-    """GameState.canExecuteAnyAction: any own idle unit (NONE is always
-    among its actions, so idle <=> can act)."""
-    return jnp.any((s.utype > 0) & (s.owner == jnp.int32(player))
-                   & ~s.busy)
+_can_act = _po_can_act
 
 
 def _issue_player(env: GridnetEnv, s: State, action, player) -> State:
@@ -95,64 +94,24 @@ def _advance(env: GridnetEnv, s: State, max_wait: int = 512):
     """Cycle until some unit can act or the game ends (the node-constructor
     loop, NaiveMCTSNode.java:46-52).  ``max_wait`` bounds the loop; a state
     still frozen after it is treated as terminal."""
-    eng = env.engine
-
-    def cond(c):
-        s, n, done = c
-        return (~done) & (n < max_wait) & ~(_can_act(s, 0) | _can_act(s, 1))
-
-    def body(c):
-        s, n, _ = c
-        s2, d = eng.cycle(s)
-        return (s2, n + 1, d)
-
-    s, n, done = jax.lax.while_loop(
-        cond, body, (s, jnp.int32(0), eng.gameover(s)))
-    stuck = (n >= max_wait) | ~(_can_act(s, 0) | _can_act(s, 1))
-    return s, done | (stuck & ~done) | done
+    s, done = fast_forward(env, s, env.engine.gameover(s),
+                           max_skip=max_wait)
+    stuck = ~(_can_act(s, 0) | _can_act(s, 1))
+    return s, done | (stuck & ~done)
 
 
 def _make_playout(env: GridnetEnv, playout_len: int, eval_fn, gamma: float,
-                  rollout_bot=None, n_eval: int = 1):
-    """playout + eval from any (possibly mid-tick) state; returns the
-    evaluation from ``player``'s perspective discounted by 0.99^(Δt/10)
+                  rollout_bot=None, n_eval: int = 1,
+                  n_decisions: Optional[int] = None):
+    """Shared fast-forward playout (ops/playout.py): actor+decode run only
+    at decision points, cycle-only ticks coast in between
+    (getNextChangeTime analog, GameState.java:532-546).  Returns the
+    evaluation from ``player``'s perspective discounted by gamma^(Δt/10)
     from ``t0`` (NaiveMCTS.iteration:200-206).  Default rollout policy is
-    the RandomBiasedAI analog; ABCD passes WorkerRush (ABCD.java:50-52).
-    ``gamma=1.0`` disables discounting; ``playout_len=0`` evaluates the
-    state directly (the minimax leaf).
-
-    ``n_eval > 1`` runs that many playouts from the leaf IN PARALLEL
-    (vmapped over keys) and returns their mean — the TPU-shaped way to
-    buy value accuracy: the Java bots buy it with thousands of sequential
-    iterations; here extra playouts per iteration are batch width at the
-    SAME wall-clock cost per move."""
-    rollout = rollout_bot if rollout_bot is not None else random_bot(env, 5.0)
-
-    def playout(s: State, player, t0, key):
-        def body(carry, _):
-            s, done, k = carry
-            k, k0, k1 = jax.random.split(k, 3)
-            s2, _, d2 = env.step(s, rollout(s, 0, k0), rollout(s, 1, k1))
-            s3 = jax.tree.map(
-                lambda a, b: jnp.where(done, a, b), s, s2)
-            return (s3, done | d2, k), None
-
-        (sf, _, _), _ = jax.lax.scan(
-            body, (s, env.engine.gameover(s), key), None,
-            length=playout_len)
-        v = eval_fn(sf, player)
-        dt = (sf.time - t0).astype(jnp.float32)
-        return v * jnp.power(jnp.float32(gamma), dt / 10.0)
-
-    if n_eval <= 1:
-        return playout
-
-    def playout_wide(s: State, player, t0, key):
-        vs = jax.vmap(lambda k: playout(s, player, t0, k))(
-            jax.random.split(key, n_eval))
-        return jnp.mean(vs)
-
-    return playout_wide
+    the RandomBiasedAI analog; ABCD passes WorkerRush (ABCD.java:50-52)."""
+    return _shared_make_playout(env, playout_len, eval_fn, gamma=gamma,
+                                rollout_bot=rollout_bot, n_eval=n_eval,
+                                n_decisions=n_decisions)
 
 
 # ======================================================================
@@ -175,15 +134,16 @@ class _NaiveTree(NamedTuple):
 
 def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
                    max_nodes: int = 96, max_children: int = 16,
-                   max_depth: int = 8, playout_len: int = 64,
-                   eps0: float = 0.2, eps_l: float = 0.25,
+                   max_depth: int = 10, playout_len: int = 100,
+                   eps0: float = 0.4, eps_l: float = 0.3,
                    eps_g: float = 0.0, gamma: float = 0.99,
                    eval_fn: Optional[Callable] = None,
                    prior_fn: Optional[Callable] = None,
                    local_policy: str = "egreedy", ucb_c: float = 0.05,
                    rollout_bot: Optional[Callable] = None,
                    phase2: Optional[tuple] = None,
-                   phase1_ratio: float = 0.5, n_eval: int = 1):
+                   phase1_ratio: float = 0.5, n_eval: int = 1,
+                   n_decisions: Optional[int] = None):
     """NaiveMCTS (ai/mcts/naivemcts/NaiveMCTS.java) with per-unit CMAB
     tables and a bounded batched tree.  Budgets are static (the Java
     ITERATIONS_BUDGET analog is ``n_playouts``; TIME_BUDGET has no analog
@@ -199,7 +159,11 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
     ``phase2=(eps0', eps_l', eps_g')`` gives TwoPhaseNaiveMCTS
     (ai/mcts/naivemcts/TwoPhaseNaiveMCTS.java:36-90): after
     ``phase1_ratio`` of the playout budget the epsilons switch —
-    canonically explore-then-exploit (eps0 1.0 -> 0.0)."""
+    canonically explore-then-exploit (eps0 1.0 -> 0.0).
+
+    Epsilon/lookahead/depth defaults match the canonical Java ctor
+    ``NaiveMCTS(utt)`` (NaiveMCTS.java:66-71: e_l=0.3, e_g=0.0, e_0=0.4,
+    lookahead 100, depth 10)."""
     ecfg = env.cfg.engine
     H, W = env.h, env.w
     sp = arm_space(env)
@@ -208,7 +172,7 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
     if eval_fn is None:
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
     playout = _make_playout(env, playout_len, eval_fn, gamma, rollout_bot,
-                            n_eval=n_eval)
+                            n_eval=n_eval, n_decisions=n_decisions)
 
     def init_tree(state: State, player) -> _NaiveTree:
         return _NaiveTree(
@@ -307,10 +271,9 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
                              jnp.where(la, dist_vis, 0.0))
         return sample_arms(sp, key, dist, m["can_act"]), st
 
-    def bot(state: State, player, key):
-        maxp = jnp.int32(player)
-        tree = init_tree(state, maxp)
-        t0 = state.time
+    def search(tree: _NaiveTree, maxp, t0, key) -> _NaiveTree:
+        """Run ``n_playouts`` select/playout/propagate iterations on an
+        existing tree (the computeDuringOneGameFrame loop)."""
 
         def one_playout(it, carry):
             tree, key = carry
@@ -438,7 +401,9 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
 
         tree, _ = jax.lax.fori_loop(0, n_playouts, one_playout,
                                     (tree, key))
+        return tree
 
+    def best_action(tree: _NaiveTree):
         # most-visited root child (getMostVisitedActionIdx)
         crow = tree.children[0]
         vis = jnp.where(jnp.arange(C) < tree.nchild[0],
@@ -449,7 +414,137 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
         return jnp.where(tree.nchild[0] > 0, act,
                          jnp.zeros_like(act))
 
+    def bot(state: State, player, key):
+        maxp = jnp.int32(player)
+        tree = init_tree(state, maxp)
+        tree = search(tree, maxp, state.time, key)
+        return best_action(tree)
+
+    # expose the pieces for the tree-reuse (ContinuingAI) wrapper
+    bot.init_tree = init_tree
+    bot.search = search
+    bot.best_action = best_action
+    bot.dims = (N, C, D)
     return bot
+
+
+# ======================================================================
+# Tree reuse across moves (ContinuingAI / InterruptibleAI analog)
+
+# planes/scalars that must match for a tree node's state to BE the real
+# game state (PRNG key excluded: playouts never mutate stored states, but
+# the real env consumed different key splits)
+_MATCH_FIELDS = ("utype", "owner", "hp", "carried", "busy", "atype",
+                 "aparam", "atx", "aty", "aptype", "aticks", "time",
+                 "resources")
+
+
+def _node_state_matches(states: State, s: State) -> jax.Array:
+    """bool [N+1]: which stacked node states physically equal ``s``."""
+    ok = None
+    for f in _MATCH_FIELDS:
+        a, b = getattr(states, f), getattr(s, f)
+        eq = (a == b[None]).reshape(a.shape[0], -1).all(axis=-1)
+        ok = eq if ok is None else (ok & eq)
+    return ok
+
+
+def naive_mcts_continuing(env: GridnetEnv, **kw):
+    """NaiveMCTS with TREE REUSE across consecutive getAction calls — the
+    ContinuingAI/InterruptibleAI contract (ContinuingAI.java:11-149,
+    InterruptibleAI.java:47-66) in StatefulBot form.
+
+    Between moves the ``_NaiveTree`` rides in the bot memory.  On each
+    call the tree is RE-ROOTED at the node whose stored state physically
+    matches the real game state (the child reached by this bot's executed
+    action, or the grandchild that also includes the opponent's reply —
+    both were simulated during search, so an exact plane compare finds
+    them); the matched subtree is compacted to the array head with its
+    statistics intact, its root state is replaced by the REAL state, and
+    ``n_playouts`` fresh iterations extend it.  No match (the opponent
+    played something never sampled) falls back to a fresh tree, exactly
+    like startNewComputation.
+
+    Because the game loop invokes bots at every decision frame — including
+    frames where only the OPPONENT can act — the reused tree also
+    accumulates thinking during idle frames, which is precisely
+    ContinuingAI's "keep thinking while no unit can act"."""
+    from .believestate import StatefulBot
+
+    base = naive_mcts_bot(env, **kw)
+    N, C, D = base.dims
+
+    def _reroot(tree: _NaiveTree, state: State, maxp) -> _NaiveTree:
+        fresh = base.init_tree(state, maxp)
+        idx = jnp.arange(N + 1)
+        valid = idx < tree.nnodes
+        match = _node_state_matches(tree.states, state) & valid
+        # prefer the most-visited matching node (deepest re-root wins:
+        # a grandchild match implies its ancestors no longer apply)
+        score = jnp.where(match, tree.nvis + 1, 0)
+        m = jnp.argmax(score)
+        found = jnp.any(match)
+
+        # reachability from m through the children lists (bounded by D+2)
+        slots_ok = (jax.lax.broadcasted_iota(jnp.int32, (N + 1, C), 1)
+                    < tree.nchild[:, None])
+        child = jnp.where(slots_ok, tree.children, -1)
+        adj = jnp.zeros((N + 1, N + 1), bool)
+        adj = adj.at[jnp.repeat(idx, C),
+                     jnp.clip(child, 0, N).reshape(-1)].max(
+            (child >= 0).reshape(-1))
+        reach = idx == m
+        for _ in range(D + 2):
+            reach = reach | (jnp.einsum(
+                "i,ij->j", reach.astype(jnp.int32),
+                adj.astype(jnp.int32)) > 0)
+        reach = reach & valid
+
+        # compact: m -> 0, other reachable nodes -> 1.. in index order
+        r2 = reach & (idx != m)
+        new_idx = jnp.where(idx == m, 0,
+                            jnp.where(r2, jnp.cumsum(r2), N))
+        remap_child = jnp.where(
+            (child >= 0) & jnp.take(reach, jnp.clip(child, 0, N)),
+            jnp.take(new_idx, jnp.clip(child, 0, N)), -1)
+        base_depth = _row(tree.ndepth, m)
+
+        def scat(fresh_arr, arr):
+            return fresh_arr.at[new_idx].set(arr.astype(fresh_arr.dtype))
+
+        out = _NaiveTree(
+            states=jax.tree.map(scat, fresh.states, tree.states),
+            nplayer=scat(fresh.nplayer, tree.nplayer),
+            nterm=scat(fresh.nterm, tree.nterm),
+            ndepth=scat(fresh.ndepth, tree.ndepth - base_depth),
+            nacc=scat(fresh.nacc, tree.nacc),
+            nvis=scat(fresh.nvis, tree.nvis),
+            tacc=scat(fresh.tacc, tree.tacc),
+            tvis=scat(fresh.tvis, tree.tvis),
+            children=scat(fresh.children, remap_child),
+            carms=scat(fresh.carms, tree.carms),
+            nchild=scat(fresh.nchild, tree.nchild),
+            nnodes=jnp.sum(reach.astype(jnp.int32)))
+        # row N (scatter dump) must stay inert; root state := REAL state
+        out = out._replace(
+            states=_set_state(out.states, 0, state),
+            nplayer=out.nplayer.at[0].set(maxp),
+            nterm=out.nterm.at[0].set(env.engine.gameover(state)),
+            children=out.children.at[N].set(-1),
+            nchild=out.nchild.at[N].set(0))
+        return jax.tree.map(
+            lambda a, b: jnp.where(found, a, b), out, fresh)
+
+    def init(state: State, player):
+        return base.init_tree(state, jnp.int32(player))
+
+    def step(state: State, mem, player, key):
+        maxp = jnp.int32(player)
+        tree = _reroot(mem, state, maxp)
+        tree = base.search(tree, maxp, state.time, key)
+        return base.best_action(tree), tree
+
+    return StatefulBot(init=init, step=step)
 
 
 # ======================================================================
@@ -470,10 +565,11 @@ class _UCTTree(NamedTuple):
 
 def uct_tree_bot(env: GridnetEnv, n_playouts: int = 64,
                  max_nodes: int = 96, n_candidates: int = 8,
-                 max_depth: int = 8, playout_len: int = 64,
+                 max_depth: int = 8, playout_len: int = 100,
                  c_uct: float = 0.7, gamma: float = 0.99,
                  eval_fn: Optional[Callable] = None,
-                 fpu: Optional[float] = None, n_eval: int = 1):
+                 fpu: Optional[float] = None, n_eval: int = 1,
+                 n_decisions: Optional[int] = None):
     """UCT over a downsampled move set with REAL tree growth
     (ai/mcts/uct/DownsamplingUCT.java + UCTNode tree semantics): each node
     carries K uniformly sampled candidate joint actions; unexplored
@@ -491,7 +587,7 @@ def uct_tree_bot(env: GridnetEnv, n_playouts: int = 64,
     if eval_fn is None:
         eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
     playout = _make_playout(env, playout_len, eval_fn, gamma,
-                            n_eval=n_eval)
+                            n_eval=n_eval, n_decisions=n_decisions)
 
     def sample_cands(s: State, p, key):
         m = env.engine.legal_masks(s, p)

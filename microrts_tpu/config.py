@@ -210,6 +210,9 @@ def make_bot(name: str, env) -> "callable":
             "PGSAI": lambda: PF.pgs_bot(env),
             "MonteCarlo": lambda: SE.monte_carlo_bot(env),
             "NaiveMCTS": lambda: TS.naive_mcts_bot(env),
+            # tree reuse across moves (ContinuingAI/InterruptibleAI
+            # analog; StatefulBot protocol)
+            "ContinuingNaiveMCTS": lambda: TS.naive_mcts_continuing(env),
             # TwoPhaseNaiveMCTS.java:44-50 canonical epsilons
             "TwoPhaseNaiveMCTS": lambda: TS.naive_mcts_bot(
                 env, eps0=1.0, eps_l=0.3, eps_g=0.0,
@@ -223,11 +226,13 @@ def make_bot(name: str, env) -> "callable":
             "UCT": lambda: TS.uct_tree_bot(env),
             "DownsamplingUCT": lambda: TS.uct_tree_bot(env,
                                                        n_candidates=4),
-            # default ABCD budget-shape = one simultaneous ply of K sampled
-            # joint actions, K^2 batched 100-tick WorkerRush playouts,
-            # maximin (see sampled_abcd_bot docstring); MM.abcd_bot is the
-            # exact fixed-stack DFS (alternation + alpha-beta + odometer)
-            "ABCD": lambda: MM.sampled_abcd_bot(env),
+            # "ABCD" = the exact duration-aware alpha-beta DFS
+            # (ai/minimax/ABCD/ABCD.java semantics: mover alternation,
+            # odometer enumeration, playout leaves).  "SampledABCD" is the
+            # SIMD-shaped one-ply K x K maximin re-shape (see
+            # sampled_abcd_bot docstring) — far cheaper under vmap.
+            "ABCD": lambda: MM.abcd_bot(env),
+            "SampledABCD": lambda: MM.sampled_abcd_bot(env),
             "IDABCD": lambda: MM.id_abcd_bot(env),
             "RTMinimax": lambda: MM.rt_minimax_bot(env),
             "IDRTMinimax": lambda: MM.idrt_minimax_bot(env),

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..env.gridnet import GridnetEnv
+from ..ops.playout import fast_forward
 
 
 CHUNK = 256   # default ticks per device dispatch (long single dispatches
@@ -39,11 +40,14 @@ def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int,
     Returns ``run(i, j, keys) -> winners`` where ``i``/``j`` are per-game
     bot-pool indices (player 0 / player 1) and winners are 0, 1, or -1
     (draw / cycle cutoff, Tournament.java:122-197 loop + winner :240).
-    The game loop is dispatched in CHUNK-tick jitted slices with the
-    (state, done, winner) carry on device between slices — identical
-    results to one long scan, but each device call stays short (the
-    tunneled TPU kills multi-minute dispatches) and the host can early-out
-    once every lane is done.
+    The game loop advances DECISION FRAME by decision frame: cycle-only
+    fast-forward between frames (getNextChangeTime analog), bots invoked
+    only where some unit can act — so a CHUNK-frame dispatch covers a
+    multiple of CHUNK game ticks.  Dispatches keep the (state, done,
+    winner) carry on device between slices — identical results to one
+    long scan, but each device call stays short (the tunneled TPU kills
+    multi-minute dispatches) and the host can early-out once every lane
+    is done.
     """
     branches0 = [
         (lambda b: lambda s, k: b(s, 0, k))(b) for b in bots]
@@ -53,6 +57,18 @@ def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int,
     def chunk_fn(i, j, carry, length):
         def body(c, _):
             s, done, winner, k = c
+            # coast cycle-only ticks to the next DECISION FRAME (or game
+            # end / cycle cap): the getNextChangeTime fast-forward
+            # (ops/playout.py).  Bots think only at frames where some
+            # unit can act — exactly the Java loop, where search bots
+            # return empty unless canExecuteAnyAction
+            # (NaiveMCTS.getAction:140).  Lanes desynchronize in game
+            # time; each is independent.
+            s, d_ff = fast_forward(env, s, done,
+                                   t_end=jnp.int32(max_cycles))
+            winner = jnp.where(done, winner,
+                               jnp.where(d_ff, env.engine.winner(s), -1))
+            done = done | d_ff | (s.time >= max_cycles)
             k, k0, k1 = jax.random.split(k, 3)
             a0 = jax.lax.switch(i, branches0, s, k0)
             a1 = jax.lax.switch(j, branches1, s, k1)
