@@ -351,12 +351,18 @@ def play_matches_stateful(env: GridnetEnv, bot0: StatefulBot,
                           chunk: int = None):
     """Lockstep stateful games (the believe-state analog of
     eval.tournament.play_matches): both bots' memories ride the scan
-    carry.  Dispatched in CHUNK-tick slices like eval.tournament (long
-    single dispatches crash the tunneled TPU worker).  Returns winners
-    int[n_games] (0, 1, -1)."""
+    carry.  Dispatched in CHUNK-frame slices like eval.tournament (long
+    single dispatches crash the tunneled TPU worker).  Like the
+    tournament loop, the game advances DECISION FRAME by decision frame
+    with cycle-only fast-forward in between — lossless even for the
+    believe-state observers, because every observable change (a move
+    mutating position, a produce, a death) happens at an action
+    completion, i.e. exactly at a tick where that unit goes idle, which
+    IS a decision frame.  Returns winners int[n_games] (0, 1, -1)."""
     import numpy as np
 
     from ..eval.tournament import CHUNK
+    from ..ops.playout import fast_forward
     if chunk is None:
         chunk = CHUNK
 
@@ -368,6 +374,11 @@ def play_matches_stateful(env: GridnetEnv, bot0: StatefulBot,
     def chunk_fn(carry, length):
         def body(c, _):
             s, m0, m1, done, winner, k = c
+            s, d_ff = fast_forward(env, s, done,
+                                   t_end=jnp.int32(max_cycles))
+            winner = jnp.where(done, winner,
+                               jnp.where(d_ff, env.engine.winner(s), -1))
+            done = done | d_ff | (s.time >= max_cycles)
             k, k0, k1 = jax.random.split(k, 3)
             a0, m0n = bot0.step(s, m0, 0, k0)
             a1, m1n = bot1.step(s, m1, 1, k1)

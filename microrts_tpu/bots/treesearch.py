@@ -91,11 +91,13 @@ def _issue_player(env: GridnetEnv, s: State, action, player) -> State:
 
 
 def _advance(env: GridnetEnv, s: State, max_wait: int = 512):
-    """Cycle until some unit can act or the game ends (the node-constructor
-    loop, NaiveMCTSNode.java:46-52).  ``max_wait`` bounds the loop; a state
-    still frozen after it is treated as terminal."""
+    """Advance to the next decision point or game end (the node-
+    constructor loop, NaiveMCTSNode.java:46-52), via the event-driven
+    fast-forward.  4 completion events virtually always reach a decision
+    point (every completion idles its unit); a state still frozen after
+    them is treated as terminal."""
     s, done = fast_forward(env, s, env.engine.gameover(s),
-                           max_skip=max_wait)
+                           max_skip=max_wait, max_events=4, unroll=False)
     stuck = ~(_can_act(s, 0) | _can_act(s, 1))
     return s, done | (stuck & ~done)
 
@@ -474,8 +476,21 @@ def naive_mcts_continuing(env: GridnetEnv, **kw):
     base = naive_mcts_bot(env, **kw)
     N, C, D = base.dims
 
+    def _to_move(state: State, maxp):
+        """Root at the player who can actually act (the Java node ctor's
+        toMove, NaiveMCTSNode.java:56-62).  On frames where only the
+        OPPONENT acts, this roots the idle-frame thinking directly at his
+        decision — so his sampled moves are root CHILDREN and the next
+        real frame re-roots one level deep instead of two."""
+        return jnp.where(_can_act(state, maxp), maxp, 1 - maxp)
+
+    def _fresh(state: State, maxp) -> _NaiveTree:
+        t = base.init_tree(state, maxp)
+        return t._replace(nplayer=t.nplayer.at[0].set(
+            _to_move(state, maxp)))
+
     def _reroot(tree: _NaiveTree, state: State, maxp) -> _NaiveTree:
-        fresh = base.init_tree(state, maxp)
+        fresh = _fresh(state, maxp)
         idx = jnp.arange(N + 1)
         valid = idx < tree.nnodes
         match = _node_state_matches(tree.states, state) & valid
@@ -528,7 +543,7 @@ def naive_mcts_continuing(env: GridnetEnv, **kw):
         # row N (scatter dump) must stay inert; root state := REAL state
         out = out._replace(
             states=_set_state(out.states, 0, state),
-            nplayer=out.nplayer.at[0].set(maxp),
+            nplayer=out.nplayer.at[0].set(_to_move(state, maxp)),
             nterm=out.nterm.at[0].set(env.engine.gameover(state)),
             children=out.children.at[N].set(-1),
             nchild=out.nchild.at[N].set(0))
@@ -536,13 +551,17 @@ def naive_mcts_continuing(env: GridnetEnv, **kw):
             lambda a, b: jnp.where(found, a, b), out, fresh)
 
     def init(state: State, player):
-        return base.init_tree(state, jnp.int32(player))
+        return _fresh(state, jnp.int32(player))
 
     def step(state: State, mem, player, key):
         maxp = jnp.int32(player)
         tree = _reroot(mem, state, maxp)
         tree = base.search(tree, maxp, state.time, key)
-        return base.best_action(tree), tree
+        act = base.best_action(tree)
+        # on opponent-only frames the root holds HIS candidate moves —
+        # never play them; the thinking is kept for the next re-root
+        act = jnp.where(_can_act(state, maxp), act, jnp.zeros_like(act))
+        return act, tree
 
     return StatefulBot(init=init, step=step)
 

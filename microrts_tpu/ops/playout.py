@@ -41,7 +41,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..engine.types import NONE, State
+from ..engine.types import INF, NONE, State
 
 
 def can_act(s: State, player) -> jax.Array:
@@ -55,8 +55,10 @@ def decision_point(s: State) -> jax.Array:
     return jnp.any((s.utype > 0) & (s.owner >= 0) & ~s.busy)
 
 
-def playout_step(env, s: State, a0, a1, none_duration: int = 10):
-    """One self-play tick with BOT-path NONE semantics and no reward
+def playout_step(env, s: State, a0, a1, none_duration: int = 10,
+                 jump_to_event: bool = False, t_end=None,
+                 max_skip: int = 512):
+    """One self-play EVENT with BOT-path NONE semantics and no reward
     computation.  Java playout policies sample from
     ``Unit.getUnitActions(gs)`` whose idle action is NONE(10)
     (Unit.java:368-370), and the bot path pads with
@@ -64,7 +66,17 @@ def playout_step(env, s: State, a0, a1, none_duration: int = 10):
     the RL path's NONE(1) (JNIAI.java:53).  A unit that idles therefore
     SLEEPS ``none_duration`` ticks, which is what makes decision points
     sparse and the fast-forward effective.  Rewards are skipped (playouts
-    are scored by evaluation functions, not reward functions)."""
+    are scored by evaluation functions, not reward functions).
+
+    ``jump_to_event=True`` is the fused `getNextChangeTime` jump: after
+    both issues every unit is busy (pads included), so NOTHING can change
+    until the earliest completion — jump ``min(busy aticks) - 1`` dead
+    ticks in closed form (time += k, busy aticks -= k; exactly what k
+    dense cycles would do), then run the ONE real `cycle` of the
+    completion tick (skipped by select when the jump hits ``t_end``
+    first).  This keeps the whole decision step a single fused body —
+    measured cheaper than any scan-of-while coast at small batch, where
+    wall cost tracks FUSION COUNT, not FLOPs."""
 
     def patch(c):
         return c.replace(aparam=jnp.where(c.atype == NONE,
@@ -77,27 +89,106 @@ def playout_step(env, s: State, a0, a1, none_duration: int = 10):
     c1, _, _ = env.decode(s1, a1, 1, env._inflight_claims(s1),
                           env._inflight_spent(s1, 1))
     s2 = env.engine.issue_env(s1, patch(c1))
-    return env.engine.cycle(s2)
+    if not jump_to_event:
+        return env.engine.cycle(s2)
+    min_eta = jnp.min(jnp.where(s2.busy, s2.aticks.astype(jnp.int32), INF))
+    k = jnp.clip(min_eta - 1, 0, max_skip)
+    if t_end is not None:
+        k = jnp.minimum(k, jnp.maximum(t_end - s2.time, 0))
+        do_cycle = (s2.time + k) < t_end
+    s2 = s2.replace(time=s2.time + k,
+                    aticks=jnp.where(s2.busy, s2.aticks - k,
+                                     s2.aticks)).canon()
+    s3, d3 = env.engine.cycle(s2)
+    if t_end is not None:
+        s3 = jax.tree.map(lambda a, b: jnp.where(do_cycle, b, a), s2, s3)
+        d3 = jnp.where(do_cycle, d3, env.engine.gameover(s2))
+    return s3, d3
 
 
-def fast_forward(env, s: State, done, t_end=None, max_skip: int = 512):
-    """Cycle-only ticks until a decision point, game end, ``t_end``, or
-    ``max_skip`` ticks.  Returns ``(state, done)``.  The fused analog of
-    the Java node-constructor loop (NaiveMCTSNode.java:46-52) and of
-    `getNextChangeTime` skipping."""
+def fast_forward(env, s: State, done, t_end=None, max_skip: int = 512,
+                 max_events: int = 2, unroll: bool = True):
+    """Jump to the next decision point (or game end / ``t_end``) —
+    the `getNextChangeTime` analog (GameState.java:532-546), EVENT-driven
+    and exact:
+
+    Between action completions NOTHING in the state can change: no
+    damage, no moves, no spawns, no deaths — `cycle` only decrements
+    ``aticks`` and bumps ``time`` (engine/kernel.py cycle:508-516).  So
+    each "event step" (a) jumps ``min(busy aticks) - 1`` dead ticks in
+    CLOSED FORM (time += k, busy aticks -= k), then (b) runs ONE real
+    `cycle` for the completion tick.  Every completion idles its unit
+    (the assignment is removed), so the post-cycle state is almost
+    always a decision point — ``max_events`` unrolled steps (select-
+    frozen once a decision point / ``done`` / the cap is reached) cover
+    the rest; a rare longer chain is finished by the caller's next
+    iteration.
+
+    Unrolled rather than a `while_loop` of cycles: measured on the
+    tunneled v5e, a cycle costs ~2 us inside a fused scan but ~10 us as
+    a while_loop iteration, and each loop ENTRY materializes the whole
+    State at the loop boundary — scan-of-while structures were paying
+    more for boundaries than for the skipped actor work.
+
+    For NON-deterministic UTTs (v3) a dense run splits the PRNG key once
+    per tick while the jump consumes one split per EVENT; damage draws
+    still use fresh subkeys at completion ticks, so playouts remain
+    correctly distributed but are not bit-identical to per-tick cycling
+    (deterministic UTTs are bit-exact — cycle never touches the key).
+
+    ``max_skip`` bounds one closed-form jump (stuck states with no busy
+    units would otherwise jump time to the i32 horizon).
+
+    ``unroll=True`` inlines ``max_events`` straight-line event steps —
+    the right shape for TOP-LEVEL scan bodies (tournament / stateful
+    match loops), where fused straight-line code beats while_loop
+    boundaries.  ``unroll=False`` wraps ONE event step in a
+    `lax.while_loop` — mandatory inside search bots' own while-loop
+    bodies: inlining N copies of `cycle` into a DFS/tree-iteration body
+    multiplies the HLO and sent round-4 compiles of the minimax bots
+    past 45 MINUTES (two pytest workers stuck in backend_compile);
+    the loop form keeps ONE cycle copy and compiles in minutes."""
     eng = env.engine
+
+    def step(s, done):
+        live = (~done) & ~decision_point(s)
+        if t_end is not None:
+            live = live & (s.time < t_end)
+        min_eta = jnp.min(jnp.where(s.busy, s.aticks.astype(jnp.int32),
+                                    INF))
+        k = jnp.clip(min_eta - 1, 0, max_skip)
+        if t_end is not None:
+            to_cap = jnp.maximum(t_end - s.time, 0)
+            k = jnp.minimum(k, to_cap)
+            do_cycle = (s.time + k) < t_end
+        else:
+            do_cycle = jnp.bool_(True)
+        k = jnp.where(live, k, 0)
+        s_j = s.replace(
+            time=s.time + k,
+            aticks=jnp.where(s.busy, s.aticks - k, s.aticks)).canon()
+        s_c, d_c = eng.cycle(s_j)
+        take_c = live & do_cycle
+        s = jax.tree.map(lambda a, b: jnp.where(take_c, b, a), s_j, s_c)
+        done = jnp.where(take_c, done | d_c, done)
+        return s, done
+
+    if unroll:
+        for _ in range(max_events):
+            s, done = step(s, done)
+        return s, done
 
     def cond(c):
         s, done, n = c
-        live = (~done) & (n < max_skip) & ~decision_point(s)
+        live = (~done) & (n < max_events) & ~decision_point(s)
         if t_end is not None:
             live = live & (s.time < t_end)
         return live
 
     def body(c):
         s, done, n = c
-        s2, d2 = eng.cycle(s)
-        return (s2, done | d2, n + 1)
+        s, done = step(s, done)
+        return (s, done, n + 1)
 
     s, done, _ = jax.lax.while_loop(cond, body, (s, done, jnp.int32(0)))
     return s, done
@@ -109,17 +200,24 @@ def run_playout(env, act2: Callable, s: State, key, playout_len: int,
     """Run one fast-forward playout.  ``act2(state, key) -> (a0, a1)``
     produces both players' gridnet action tensors at a decision point.
     Returns ``(final_state, done)`` after up to ``playout_len`` game
-    ticks / ``n_decisions`` decision steps.  Ticks use bot-path NONE
-    semantics (``playout_step``)."""
+    ticks / ``n_decisions`` decision steps.
+
+    Each scan iteration is one EVENT: act (anyone idle gets an action or
+    a NONE(10) pad), then the fused jump-to-next-completion
+    (``playout_step(jump_to_event=True)``) — so iterations walk decision
+    frames directly, with no separate coast in the body.  On a frame
+    where nobody can act (a completion that killed its unit) the decode
+    no-ops and the jump simply advances to the next event."""
     t_end = s.time + jnp.int32(playout_len)
     done0 = env.engine.gameover(s)
 
     def dec(carry, k):
         s, done = carry
-        s, done = fast_forward(env, s, done, t_end, max_skip)
-        live = (~done) & (s.time < t_end) & decision_point(s)
+        live = (~done) & (s.time < t_end)
         a0, a1 = act2(s, k)
-        s2, d2 = playout_step(env, s, a0, a1, none_duration)
+        s2, d2 = playout_step(env, s, a0, a1, none_duration,
+                              jump_to_event=True, t_end=t_end,
+                              max_skip=max_skip)
         s = jax.tree.map(lambda a, b: jnp.where(live, b, a), s, s2)
         done = jnp.where(live, done | d2, done)
         return (s, done), None
@@ -127,8 +225,11 @@ def run_playout(env, act2: Callable, s: State, key, playout_len: int,
     (s, done), _ = jax.lax.scan(
         dec, (s, done0), jax.random.split(key, n_decisions))
     # trailing coast: complete in-flight actions up to the cap (pending
-    # attacks land; evaluation happens at the first un-budgeted decision)
-    s, done = fast_forward(env, s, done, t_end, max_skip)
+    # attacks land; evaluation happens at the first un-budgeted decision).
+    # Runs once per playout (not per scan step), so the loop form's
+    # boundary cost is negligible — and playouts live inside search bots'
+    # while bodies, where inlined cycle copies explode compile time.
+    s, done = fast_forward(env, s, done, t_end, max_skip, unroll=False)
     return s, done
 
 
