@@ -68,9 +68,18 @@ VICTORY = jnp.float32(1e5)
 
 def _make_dfs(env: GridnetEnv, *, alt: bool, max_depth: int,
               lookahead: Optional[int], stack_cap: int, node_budget: int,
-              playout_len: int, playout_bot, eval_fn):
+              playout_len: int, playout_bot, eval_fn,
+              randomized: bool = False):
     """Shared fixed-shape DFS alpha-beta.  ``lookahead=None`` cuts leaves
-    by ply depth (ABCD); otherwise by game time (RTMinimax)."""
+    by ply depth (ABCD); otherwise by game time (RTMinimax).
+    ``randomized=True`` is Buro-style randomized alpha-beta
+    (IDRTMinimaxRandomized.java:86-91): at SIMULTANEOUS nodes the mover
+    is a coin flip instead of strict alternation — "the ONLY difference
+    between this method and the standard alpha-beta".
+
+    The returned bot also exposes ``bot.value_fn(state, player, key)``:
+    the root's backed-up value (used by the randomized-root repeat
+    harness, RTMiniMaxRandomizedRootNode)."""
     eng = env.engine
     H, W = env.h, env.w
     HW = H * W
@@ -79,8 +88,7 @@ def _make_dfs(env: GridnetEnv, *, alt: bool, max_depth: int,
     init_enum, next_action = make_enumerator(env)
     playout = _make_playout(env, playout_len, eval_fn, 1.0, playout_bot)
 
-    def bot(state: State, player, key):
-        maxp = jnp.int32(player)
+    def run(state: State, maxp, key):
         t0 = state.time
 
         def entry(st, level, nextsim_in, k):
@@ -89,7 +97,13 @@ def _make_dfs(env: GridnetEnv, *, alt: bool, max_depth: int,
             can_max = _can_act(st, maxp)
             can_min = _can_act(st, 1 - maxp)
             both = can_max & can_min
-            if alt:
+            if alt and randomized:
+                k, km = jax.random.split(k)
+                coin = jax.random.randint(km, (), 0, 2)
+                mover = jnp.where(both, coin,
+                                  jnp.where(can_max, maxp, 1 - maxp))
+                nextsim = nextsim_in
+            elif alt:
                 mover = jnp.where(both, nextsim_in,
                                   jnp.where(can_max, maxp, 1 - maxp))
                 nextsim = jnp.where(both, 1 - nextsim_in, nextsim_in)
@@ -221,12 +235,17 @@ def _make_dfs(env: GridnetEnv, *, alt: bool, max_depth: int,
              nextsim_a, down_arms, root_arms, root_set, jnp.int32(0), key,
              jnp.bool_(False), jnp.int32(0))
         c = jax.lax.while_loop(cond, body, c)
-        root_arms = c[10]
+        root_arms, root_value = c[10], _row(c[6], 0)
 
         act = arms_to_action(sp_arm, root_arms)
         can = _can_act(state, maxp) & ~eng.gameover(state)
-        return jnp.where(can, act, jnp.zeros_like(act))
+        return jnp.where(can, act, jnp.zeros_like(act)), root_value
 
+    def bot(state: State, player, key):
+        return run(state, jnp.int32(player), key)[0]
+
+    bot.value_fn = lambda state, player, key: run(
+        state, jnp.int32(player), key)[1]
     return bot
 
 
@@ -364,5 +383,68 @@ def idrt_minimax_bot(env: GridnetEnv, lookaheads=(25, 50, 100),
         for i, b in enumerate(bots):
             act = b(state, player, jax.random.fold_in(key, i))
         return act
+
+    return bot
+
+
+def idrt_minimax_randomized_bot(env: GridnetEnv, k_moves: int = 8,
+                                repeats: int = 8, lookahead: int = 25,
+                                stack_cap: int = 10,
+                                node_budget: int = 96,
+                                eval_fn: Optional[Callable] = None):
+    """IDRTMinimaxRandomized (ai/minimax/RTMiniMax/IDRTMinimaxRandomized
+    .java) — Michael Buro's randomized alpha-beta applied to RTMM:
+
+    * below the root, SIMULTANEOUS nodes pick their mover by coin flip
+      instead of strict ordering (:86-91 — "the ONLY difference");
+    * each root action is searched ``repeats`` times and scored
+      ``mean - stddev`` over the repeats (:139-151), max score wins with
+      the first-tie-break (:159-162).
+
+    TPU shape: the first ``k_moves`` odometer-enumerated root actions
+    (the Java root's PlayerActionGenerator order) are each evaluated by
+    ``repeats`` coin-flip DFS runs — the whole K x R matrix is ONE
+    vmapped batch of the shared fixed-stack DFS (``value_fn``), so the
+    randomized repeats ride batch width, not wall clock."""
+    ecfg = env.cfg.engine
+    if eval_fn is None:
+        eval_fn = lambda s, p: simple_sqrt_eval3(s, p, ecfg)
+    H, W = env.h, env.w
+    sp = arm_space(env)
+    init_enum, next_action = make_enumerator(env)
+    inner = _make_dfs(env, alt=True, max_depth=0, lookahead=lookahead,
+                      stack_cap=stack_cap, node_budget=node_budget,
+                      playout_len=0, playout_bot=None, eval_fn=eval_fn,
+                      randomized=True)
+    K = k_moves
+
+    def bot(state: State, player, key):
+        maxp = jnp.int32(player)
+        od0, ctx = init_enum(state, maxp)
+
+        def draw(od, _):
+            od2, arms, valid = next_action(od, ctx)
+            return od2, (arms.reshape(H, W), valid)
+
+        _, (arms_k, valid_k) = jax.lax.scan(draw, od0, None, length=K)
+
+        def score_one(arms, valid, k):
+            st1 = _issue_player(env, state, arms_to_action(sp, arms), maxp)
+            st2, done2 = _advance(env, st1)
+            vs = jax.vmap(lambda kk: inner.value_fn(st2, player, kk))(
+                jax.random.split(k, repeats))
+            vs = jnp.where(done2, eval_fn(st2, maxp), vs)
+            score = jnp.mean(vs) - jnp.std(vs)
+            return jnp.where(valid, score, -jnp.inf)
+
+        scores = jax.vmap(score_one)(
+            arms_k, valid_k, jax.random.split(key, K))
+        best = jnp.argmax(scores)
+        act = arms_to_action(sp, arms_k[0])
+        for i in range(1, K):    # unrolled select (gathers are slow)
+            act = jnp.where(best == i, arms_to_action(sp, arms_k[i]), act)
+        can = _can_act(state, maxp) & ~env.engine.gameover(state) \
+            & jnp.any(valid_k)
+        return jnp.where(can, act, jnp.zeros_like(act))
 
     return bot

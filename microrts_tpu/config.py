@@ -148,6 +148,13 @@ def _uapd(env):
     return pretrained_bayes_bot(env, _pretrained_wr())
 
 
+def _cooperative(env):
+    """CooperativeAI (ai/CooperativeAI.java): per-unit-type networks;
+    fresh (unevolved) genomes by default, like an un-run MicroRTSNEAT."""
+    from .bots.cooperative import cooperative_bot
+    return cooperative_bot(env)
+
+
 def make_bot(name: str, env) -> "callable":
     """Bot factory by (Java or short) name."""
     from .bots import scripted as S
@@ -236,6 +243,9 @@ def make_bot(name: str, env) -> "callable":
             "IDABCD": lambda: MM.id_abcd_bot(env),
             "RTMinimax": lambda: MM.rt_minimax_bot(env),
             "IDRTMinimax": lambda: MM.idrt_minimax_bot(env),
+            "IDRTMinimaxRandomized":
+                lambda: MM.idrt_minimax_randomized_bot(env),
+            "CooperativeAI": lambda: _cooperative(env),
         }
     registry.update(_search())
     if name not in registry:

@@ -61,6 +61,20 @@ def eval_net(genome: jax.Array, obs_flat: jax.Array,
     return x[..., 0] if x.shape[-1] == 1 else jnp.tanh(jnp.sum(x, -1))
 
 
+def logits_net(genome: jax.Array, x: jax.Array,
+               layer_dims: Sequence[int], rank: int) -> jax.Array:
+    """MLP forward returning the LAST layer's raw activations (tanh on
+    hidden layers only) — the per-unit policy head of CooperativeAI
+    (bots/cooperative.py), vs ``eval_net``'s scalar collapse."""
+    x = x.astype(jnp.float32)
+    layers = decode(genome, layer_dims, rank)
+    for i, (W, b) in enumerate(layers):
+        x = x @ W + b
+        if i < len(layers) - 1:
+            x = jnp.tanh(x)
+    return x
+
+
 def make_learned_eval(env, genome: jax.Array, hidden: int = 64,
                       rank: int = 8):
     """An eval_fn(state, player) for the search bots, driven by a genome
