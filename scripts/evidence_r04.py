@@ -1,0 +1,263 @@
+"""Round-4 evidence: search-bot strength at fast-forward budgets.
+
+Round 3's recorded weakness (VERDICT r3 "What's weak" #1): NaiveMCTS
+ranked LAST vs flat MonteCarlo at 12 iterations x 24-tick playouts — a
+budget so starved the tree's root had ~3 children and "most-visited" was
+noise.  Round 4's decision-point fast-forward (ops/playout.py: actor only
+at decision frames, cycle-only coasting, Java bot-path NONE(10)) plus the
+decision-frame tournament loop multiply the affordable budget: playouts
+are ~4x cheaper per tick and bots think once per DECISION FRAME instead
+of once per tick.
+
+Sections (each appends to RESULTS.md as it finishes):
+  A. NaiveMCTS vs MonteCarlo vs NaiveSampling HEAD-TO-HEAD pairs at equal
+     playout budget (48 playouts x 100 ticks / move).  Pairs (not a
+     switch round-robin) so a lane pays only its two bots.
+  B. search bots vs RandomBiasedAI, 8 games each side — the full
+     _bot_table, including the EXACT duration-aware ABCD (honest
+     labeling, VERDICT r3 item 10) and SampledABCD separately.
+  E. ContinuingNaiveMCTS (tree reuse, VERDICT r3 item 7) vs stateless
+     NaiveMCTS at equal per-move budget.
+
+Run: ``python scripts/evidence_r04.py [--cpu] [--section A B E]
+[--append] [--bots NaiveMCTS ...] [--games 8]``.  Run each section in
+its own ``timeout``-wrapped process on the tunneled TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+HEADER = """# Recorded tournament evidence (round 4)
+
+Reproduce with `python scripts/evidence_r04.py`.  Winners computed by
+`eval.tournament` (decision-frame game loop, chunked batched device
+programs); w/t/l counted over both playing positions; ties include
+max-cycle cutoffs.  Budgets are static (playouts x playout ticks x
+parallel evals); exact constructors in scripts/evidence_r04.py.
+All playouts use the decision-point fast-forward with Java bot-path
+NONE(10) idling (ops/playout.py).
+"""
+
+
+def _emit(out, text):
+    print(text, flush=True)
+    with open(out, "a") as f:
+        f.write(text + "\n")
+
+
+def _env8():
+    from microrts_tpu.env.gridnet import GridnetEnv
+    from microrts_tpu.utils.assets import asset_path
+    return GridnetEnv(asset_path("maps/8x8/basesWorkers8x8.xml"))
+
+
+def _wtl(w0, w1):
+    import numpy as np
+    wins = int((np.asarray(w0) == 0).sum() + (np.asarray(w1) == 1).sum())
+    loss = int((np.asarray(w0) == 1).sum() + (np.asarray(w1) == 0).sum())
+    n = len(w0) + len(w1)
+    return wins, n - wins - loss, loss
+
+
+def section_a(out, games=8):
+    """NaiveMCTS must BEAT flat MC and the hill-climber head-to-head at
+    matched playout budget (VERDICT r3 next-round item 1)."""
+    from microrts_tpu.bots.search import monte_carlo_bot, naive_sampling_bot
+    from microrts_tpu.bots.treesearch import naive_mcts_bot
+    from microrts_tpu.eval.tournament import play_matches_both
+
+    env = _env8()
+    # equal budget: 48 playouts x 100 ticks per move
+    mk = {
+        "NaiveMCTS": lambda: naive_mcts_bot(env, n_playouts=48,
+                                            max_nodes=64, max_children=12,
+                                            max_depth=6, playout_len=100),
+        "MonteCarlo": lambda: monte_carlo_bot(env, n_candidates=24,
+                                              playout_len=100, n_eval=2),
+        "NaiveSampling": lambda: naive_sampling_bot(env, n_rounds=48,
+                                                    playout_len=100),
+    }
+    pairs = [("NaiveMCTS", "MonteCarlo"), ("NaiveMCTS", "NaiveSampling"),
+             ("MonteCarlo", "NaiveSampling")]
+    t_all = time.time()
+    _emit(out, f"\n## A. NaiveMCTS vs playout searchers, head-to-head "
+               f"pairs (basesWorkers8x8, equal budget: 48 playouts x "
+               f"100 ticks/move, {games} games each side, max 2000 "
+               f"cycles)\n")
+    _emit(out, "| pairing | left wins | ties | right wins |")
+    _emit(out, "|---|---|---|---|")
+    score = {k: 0.0 for k in mk}
+    for ln, rn in pairs:
+        t0 = time.time()
+        w0, w1 = play_matches_both(env, mk[ln](), mk[rn](), n_games=games,
+                                   max_cycles=2000, seed=17, chunk=8)
+        w, t, l = _wtl(w0, w1)
+        score[ln] += w + 0.5 * t
+        score[rn] += l + 0.5 * t
+        _emit(out, f"| {ln} vs {rn} | {w} | {t} | {l} |")
+        print(f"  [{ln} vs {rn}: {time.time() - t0:.0f}s]", flush=True)
+    rank = sorted(score, key=lambda k: -score[k])
+    _emit(out, "\nranking: " + ", ".join(
+        f"{k} ({score[k]:.1f})" for k in rank)
+        + f"  ({time.time() - t_all:.0f}s)")
+
+
+def _bot_table(env):
+    """Section-B pool with fast-forward budgets."""
+    from microrts_tpu.bots import minimax as MM
+    from microrts_tpu.bots import portfolio as PF
+    from microrts_tpu.bots import treesearch as TS
+    from microrts_tpu.bots.lsi import lsi_bot
+    from microrts_tpu.bots.puppet import puppet_ab_bot
+    from microrts_tpu.bots.search import monte_carlo_bot
+    from microrts_tpu.config import make_bot
+    return {
+        # the EXACT duration-aware alpha-beta (ABCD.java semantics);
+        # every while-trip pays its leaf playout under vmap, so the node
+        # budget is the wall cost driver
+        "ABCD": (lambda: MM.abcd_bot(env, max_depth=2, playout_len=50,
+                                     node_budget=96),
+                 "exact DFS: depth 2, 96 nodes, 50-tick playout leaves"),
+        "SampledABCD": (lambda: MM.sampled_abcd_bot(env),
+                        "K=8 joint moves, 8x8 batched 100-tick playouts, "
+                        "maximin"),
+        "PGSAI": (lambda: PF.pgs_bot(env, lookahead=64, slots=6,
+                                     responses=0),
+                  "lookahead 64, 6 slots, 0 response rounds"),
+        "UCT": (lambda: TS.uct_tree_bot(env, n_playouts=32, max_nodes=48,
+                                        n_candidates=6, playout_len=100,
+                                        n_eval=2),
+                "32 iters x 100 ticks x 2 parallel evals"),
+        "NaiveMCTS": (lambda: TS.naive_mcts_bot(
+            env, n_playouts=48, max_nodes=64, max_children=12, max_depth=6,
+            playout_len=100),
+            "48 iters x 100 ticks"),
+        "PortfolioAI": (lambda: PF.portfolio_ai_bot(env, lookahead=100),
+                        "4 scripts, lookahead 100"),
+        "MonteCarlo": (lambda: monte_carlo_bot(env, n_candidates=32,
+                                               playout_len=100, n_eval=4),
+                       "32 candidates x 100 ticks x 4 parallel evals"),
+        "LSI": (lambda: lsi_bot(env, n_probes=24, n_candidates=8,
+                                playout_len=100),
+                "24 probes, 8 candidates, 100-tick playouts"),
+        "RTMinimax": (lambda: MM.rt_minimax_bot(env, lookahead=25,
+                                                node_budget=160),
+                      "exact DFS, lookahead 25, 160 nodes"),
+        "PuppetNoPlan": (lambda: puppet_ab_bot(env), "default"),
+        "SCV": (lambda: make_bot("SCV", env), "default"),
+    }
+
+
+def section_b(out, only=None, games=8):
+    from microrts_tpu.config import make_bot
+    from microrts_tpu.eval.tournament import play_matches_both
+
+    env = _env8()
+    rb = make_bot("RandomBiasedAI", env)
+    bots = _bot_table(env)
+    if only:
+        bots = {k: v for k, v in bots.items() if k in only}
+    _emit(out, f"\n## B. Search bots vs RandomBiasedAI (basesWorkers8x8, "
+               f"{games} games each side, max 2000 cycles)\n")
+    _emit(out, "| bot | budget | wins | ties | losses | win% |")
+    _emit(out, "|---|---|---|---|---|---|")
+    for name, (mk, budget) in bots.items():
+        t0 = time.time()
+        try:
+            bot = mk()
+            chunk = 4 if name == "ABCD" else 8
+            w0, w1 = play_matches_both(env, bot, rb, n_games=games,
+                                       max_cycles=2000, seed=5,
+                                       chunk=chunk)
+            w, t, l = _wtl(w0, w1)
+            n = 2 * games
+            _emit(out, f"| {name} | {budget} | {w} | {t} | {l} | "
+                       f"{100.0 * w / n:.0f}% |")
+        except Exception as e:
+            _emit(out, f"| {name} | {budget} | - | - | - | "
+                       f"run failed: {type(e).__name__} |")
+            traceback.print_exc()
+        print(f"  [{name}: {time.time() - t0:.0f}s]", flush=True)
+
+
+def section_e(out, games=8):
+    """Tree reuse must measurably beat the stateless tree at equal
+    per-move budget (VERDICT r3 next-round item 7)."""
+    from microrts_tpu.bots.believestate import (play_matches_stateful,
+                                                stateless)
+    from microrts_tpu.bots.treesearch import (naive_mcts_bot,
+                                              naive_mcts_continuing)
+
+    env = _env8()
+    kw = dict(n_playouts=24, max_nodes=96, max_children=12, max_depth=6,
+              playout_len=100)
+    cont = naive_mcts_continuing(env, **kw)
+    stat = stateless(naive_mcts_bot(env, **kw))
+    t0 = time.time()
+    ws = []
+    for seed, (b0, b1) in enumerate([(cont, stat), (stat, cont)]):
+        w = play_matches_stateful(env, b0, b1, n_games=games,
+                                  max_cycles=2000, seed=23 + seed,
+                                  chunk=8)
+        ws.append(w)
+    # ws[0] lanes have cont as p0, ws[1] lanes have cont as p1
+    import numpy as np
+    wins = int((np.asarray(ws[0]) == 0).sum()
+               + (np.asarray(ws[1]) == 1).sum())
+    loss = int((np.asarray(ws[0]) == 1).sum()
+               + (np.asarray(ws[1]) == 0).sum())
+    n = 2 * games
+    _emit(out, f"\n## E. Tree reuse: ContinuingNaiveMCTS vs stateless "
+               f"NaiveMCTS (equal budget 24 iters x 100 ticks/move, "
+               f"basesWorkers8x8, {n} games, max 2000 cycles, "
+               f"{time.time() - t0:.0f}s)\n")
+    _emit(out, f"ContinuingNaiveMCTS wins {wins}, losses {loss}, "
+               f"draws {n - wins - loss}.")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--section", nargs="+", default=list("ABE"))
+    ap.add_argument("--bots", nargs="+", default=None,
+                    help="restrict section B to these bots")
+    ap.add_argument("--games", type=int, default=8)
+    ap.add_argument("--append", action="store_true")
+    ap.add_argument("-o", "--out", default="RESULTS.md")
+    args = ap.parse_args()
+    if args.cpu:
+        from microrts_tpu.utils.platform import force_cpu
+        force_cpu()
+    import jax
+    if not args.append:
+        with open(args.out, "w") as f:
+            f.write(HEADER)
+        _emit(args.out, f"\nDevice: {jax.devices()[0].device_kind}.")
+    for s in args.section:
+        t0 = time.time()
+        try:
+            if s.upper() == "B":
+                section_b(args.out, only=args.bots, games=args.games)
+            elif s.upper() == "A":
+                section_a(args.out, games=args.games)
+            elif s.upper() == "E":
+                section_e(args.out, games=args.games)
+            else:
+                raise ValueError(f"unknown section {s}")
+        except Exception as e:
+            _emit(args.out, f"\n(section {s} failed: "
+                            f"{type(e).__name__}: {str(e)[:200]})")
+            traceback.print_exc()
+        print(f"[section {s} done in {time.time() - t0:.0f}s]", flush=True)
+
+
+if __name__ == "__main__":
+    main()
