@@ -17,15 +17,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None,
-              axis: str = "env") -> Mesh:
+def make_mesh(n_devices=None, axis="env") -> Mesh:
+    """Build a device mesh.
+
+    ``n_devices``: an int (or None = all devices) for a 1-axis mesh named
+    ``axis``; or a SHAPE TUPLE for a multi-axis mesh — e.g.
+    ``make_mesh((2, 4))`` is a (host, env) mesh for 2 hosts x 4 chips,
+    with ``axis`` then a tuple of names (default ``("host", "env")``).
+    Envs shard over the PRODUCT of the axes (specs use the tuple form
+    ``P(axis_names)``), so the same training step runs on a single chip,
+    one host's chips, or a multi-host slice: XLA routes the (host, env)
+    reductions hierarchically — ICI within a host, DCN across hosts."""
     devs = jax.devices()
+    if isinstance(n_devices, (tuple, list)):
+        names = tuple(axis) if isinstance(axis, (tuple, list)) \
+            else ("host", "env")
+        n = int(np.prod(n_devices))
+        return Mesh(np.array(devs[:n]).reshape(tuple(n_devices)), names)
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def shard_batch(mesh: Mesh, tree, axis: str = "env"):
-    """Place a pytree with leading batch axis sharded across the mesh."""
+def shard_batch(mesh: Mesh, tree, axis=None):
+    """Place a pytree with leading batch axis sharded across the mesh.
+    Default: shard over ALL mesh axes (their product)."""
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     sh = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 

@@ -282,12 +282,15 @@ class PPOTrainer:
 
     # ------------------------------------------------------------------
     def update_sharded(self, ts: TrainState):
-        """Data-parallel update over the mesh's "env" axis: each device
-        rolls out its env shard and computes grads on its minibatch slice;
-        grads/metrics reduce with psum over ICI.  Numerically equivalent to
-        ``update`` on one device — identical trajectories, gradients equal
-        up to reduction-order rounding (tests/test_parallel.py proves it
-        with an SGD optimizer where rounding is not amplified)."""
+        """Data-parallel update over the mesh's axes: each device rolls
+        out its env shard and computes grads on its minibatch slice;
+        grads/metrics reduce with psum over ICI (and DCN on a multi-axis
+        (host, env) mesh — envs shard over the axis PRODUCT and the
+        reductions name every axis, routed hierarchically by XLA).
+        Numerically equivalent to ``update`` on one device — identical
+        trajectories, gradients equal up to reduction-order rounding
+        (tests/test_parallel.py proves it with an SGD optimizer where
+        rounding is not amplified)."""
         mesh = self.mesh
         assert mesh is not None, "construct PPOTrainer with a mesh"
         cfg = self.cfg
@@ -296,9 +299,10 @@ class PPOTrainer:
         n_loc = cfg.num_envs // n_dev
         assert n_loc % cfg.minibatches == 0, \
             "per-device envs must divide by minibatches for dp equivalence"
+        names = tuple(mesh.axis_names)
 
         rep = P()
-        env_ax = P("env")
+        env_ax = P(names)
         state_spec = jax.tree.map(lambda _: env_ax, ts.env_states)
 
         def local_update(params, opt_state, env_states, env_steps, key,
@@ -312,11 +316,15 @@ class PPOTrainer:
             sub.__dict__.update(self.__dict__)
             sub.cfg = dataclasses.replace(cfg, num_envs=n_loc)
             sub.vec = VecGridnetEnv(self.env, n_loc, cfg.max_steps)
-            sub.tx = _PsumTx(self.tx)
-            env_ids = (jax.lax.axis_index("env").astype(jnp.uint32) * n_loc
-                       + jnp.arange(n_loc, dtype=jnp.uint32))
+            sub.tx = _PsumTx(self.tx, names)
+            # linearized (row-major) device index over all mesh axes
+            dev_idx = jnp.uint32(0)
+            for nm in names:
+                dev_idx = (dev_idx * mesh.shape[nm]
+                           + jax.lax.axis_index(nm).astype(jnp.uint32))
+            env_ids = dev_idx * n_loc + jnp.arange(n_loc, dtype=jnp.uint32)
             nts, metrics = PPOTrainer.update(sub, lts, env_ids=env_ids,
-                                             axis_name="env")
+                                             axis_name=names)
             return (nts.params, nts.opt_state, nts.env_states,
                     nts.env_steps, nts.key, nts.update_count, metrics)
 
@@ -334,15 +342,17 @@ class PPOTrainer:
 
 
 class _PsumTx:
-    """Wrap an optax tx so gradients are mean-reduced over the "env" mesh
-    axis before the update — the learner's only collective."""
+    """Wrap an optax tx so gradients are mean-reduced over the mesh
+    axis/axes before the update — the learner's only collective."""
 
-    def __init__(self, tx):
+    def __init__(self, tx, axis="env"):
         self._tx = tx
+        self._axis = axis
 
     def init(self, params):
         return self._tx.init(params)
 
     def update(self, grads, opt_state, params=None):
-        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "env"), grads)
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(g, self._axis), grads)
         return self._tx.update(grads, opt_state, params)

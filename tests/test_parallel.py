@@ -37,6 +37,41 @@ def test_sharded_ppo_update_matches_shapes():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_two_axis_host_env_mesh_matches_flat():
+    """A 2-axis (host, env) = (2, 4) mesh must run the SAME program as the
+    flat 8-device mesh: identical trajectories, params equal to psum
+    reduction-order rounding (the multi-host harness, SURVEY §2.10)."""
+    import jax.numpy as jnp
+    import optax
+
+    from microrts_tpu.models.gridnet_policy import ActionSpace, GridnetPolicy
+
+    env = GridnetEnv(MAP8)
+    ecfg = env.cfg.engine
+    model = GridnetPolicy(ActionSpace(ecfg.num_types, 2 * ecfg.max_range + 1),
+                          dtype=jnp.float32)
+    cfg = PPOConfig(num_envs=16, rollout_len=4, minibatches=2, epochs=1)
+    outs = []
+    for mesh in (make_mesh(8), make_mesh((2, 4)), make_mesh((4, 2))):
+        tr = PPOTrainer(env, cfg, mesh=mesh, tx=optax.sgd(1e-2),
+                        model=model)
+        ts, m = jax.jit(tr.update_sharded)(tr.init(jax.random.PRNGKey(3)))
+        outs.append((ts, m))
+    ts0, m0 = outs[0]
+    for ts, m in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(ts0.env_states.time),
+                                      np.asarray(ts.env_states.time))
+        np.testing.assert_array_equal(np.asarray(ts0.env_states.utype),
+                                      np.asarray(ts.env_states.utype))
+        np.testing.assert_allclose(float(m0["mean_reward"]),
+                                   float(m["mean_reward"]), rtol=1e-6)
+        for pa, pb in zip(jax.tree.leaves(ts0.params),
+                          jax.tree.leaves(ts.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_rollout_invariant_across_mesh_shapes():
     """The SAME workload on mesh shapes 1/2/4/8 must roll out bit-identical
     env trajectories (per-env RNG keyed by global env index; the env axis
