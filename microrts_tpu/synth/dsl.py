@@ -23,15 +23,25 @@ Command set (matched to DSLCommand/DSLBasicAction):
 * ``Build(building, qty)``         — BuildBasic.java (worker builds)
 * ``Harvest(qty)``                 — HarvestBasic.java (harvest loop)
 * ``Attack(filter, target)``       — AttackBasic.java; target policies
-  Closest / Weakest / Strongest / MostHealthy mirror
-  DSLParametersConcrete/{ClosestEnemy,WeakestEnemy,...}.java
+  Closest / Farthest / Weakest / LessHealthy / Strongest / MostHealthy /
+  Random mirror {ClosestEnemy,FarthestEnemy,WeakestEnemy,
+  LessHealthyEnemy,StrongestEnemy,MostHealthyEnemy,RandomEnemy}.java
 * ``MoveAway(filter)``             — MoveAwayBasic.java
+* ``MoveToCoord(x, y, filter)``    — MoveToCoordinatesBasic.java
+* ``MoveToUnit(filter, target, side)`` — MoveToUnitBasic.java
+  (side = Ally | Enemy, EnumPlayerTarget)
+* ``Cluster(filter)``              — ClusterBasic.java (centroid walk)
 * ``Idle(filter)``                 — keep units home (defense atom)
 * ``If(cond, then)``               — IfFunction.java
 * ``For(n, body)``                 — ForFunction.java (static unroll)
 
-Conditions (DSLBasicBoolean): ``NAllyOfType(type, >=, k)``,
-``EnemyInRange(r)`` (enemy within r of any own base), ``CanAfford(type)``.
+Conditions (DSLBasicBoolean / AbstractConditionalFunction, with the
+ConditionalBiggerThen-style comparison ops): ``NAllyOfType`` /
+``NEnemyOfType`` / ``NAllyAttacking`` / ``NAllyHarvesting`` (unit-count
+comparisons), ``EnemyInRange(r)`` (enemy within r of any own base),
+``AllyInEnemyRange`` / ``EnemyInUnitsRange`` (attack-range overlap),
+``DistanceFromEnemy(d, op)``, ``UnitsStrongest(side)`` (hp-mass
+comparison), ``IsPlayerInPosition(quadrant)``, ``CanAfford(type)``.
 """
 
 from __future__ import annotations
@@ -88,9 +98,64 @@ class Idle:
 
 
 @dataclasses.dataclass(frozen=True)
+class MoveToCoord:
+    """MoveToCoordinatesBasic.java: claimed units path toward a fixed
+    board coordinate."""
+    x: int
+    y: int
+    filter: str = "All"
+
+
+@dataclasses.dataclass(frozen=True)
+class MoveToUnit:
+    """MoveToUnitBasic.java: claimed units move toward a unit chosen by
+    the target policy on ``side`` ("Enemy" | "Ally" — EnumPlayerTarget),
+    without attacking."""
+    filter: str = "All"
+    target: str = "Closest"
+    side: str = "Enemy"
+
+
+@dataclasses.dataclass(frozen=True)
+class Cluster:
+    """ClusterBasic.java: claimed units walk toward their own centroid
+    (CalcCentroide + findPath to the centroid cell)."""
+    filter: str = "All"
+
+
+# ---- boolean atoms (DSLBasicBoolean / AbstractConditionalFunction);
+# ``op`` in {">=", "<=", "==", ">", "<"} (ConditionalBiggerThen et al.)
+
+@dataclasses.dataclass(frozen=True)
 class NAllyOfType:
+    """HaveQtdUnitsbyType / NAllyUnitsofType."""
     unit: str
-    k: int                 # true iff count(own units of type) >= k
+    k: int
+    op: str = ">="
+
+
+@dataclasses.dataclass(frozen=True)
+class NEnemyOfType:
+    """HaveQtdEnemiesbyType / NEnemyUnitsofType."""
+    unit: str
+    k: int
+    op: str = ">="
+
+
+@dataclasses.dataclass(frozen=True)
+class NAllyAttacking:
+    """HaveQtdUnitsAttacking / NAllyUnitsAttacking: own units whose
+    in-flight action is ATTACK."""
+    k: int
+    op: str = ">="
+
+
+@dataclasses.dataclass(frozen=True)
+class NAllyHarvesting:
+    """HaveQtdUnitsHarversting / NAllyUnitsHarvesting: own units whose
+    in-flight action is HARVEST."""
+    k: int
+    op: str = ">="
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,11 +164,48 @@ class EnemyInRange:
 
 
 @dataclasses.dataclass(frozen=True)
+class AllyInEnemyRange:
+    """HaveUnitsinEnemyRange: some own unit stands inside an enemy's
+    attack range."""
+
+
+@dataclasses.dataclass(frozen=True)
+class EnemyInUnitsRange:
+    """HaveEnemiesinUnitsRange: some enemy stands inside an own unit's
+    attack range."""
+
+
+@dataclasses.dataclass(frozen=True)
+class DistanceFromEnemy:
+    """DistanceFromEnemy.java: the closest own-unit-to-enemy distance
+    (4-neighbor grid distance, walls ignored) compares ``op`` ``d``."""
+    d: int
+    op: str = "<="
+
+
+@dataclasses.dataclass(frozen=True)
+class UnitsStrongest:
+    """HaveUnitsStrongest / HaveEnemiesStrongest: ``side`` ("Ally" |
+    "Enemy") has the strictly larger total hit-point mass."""
+    side: str = "Ally"
+
+
+@dataclasses.dataclass(frozen=True)
+class IsPlayerInPosition:
+    """IsPlayerInPosition.java: an own base sits in board quadrant
+    ``quadrant`` (0=NW, 1=NE, 2=SW, 3=SE — getLimitOfPosition)."""
+    quadrant: int
+
+
+@dataclasses.dataclass(frozen=True)
 class CanAfford:
     unit: str
 
 
-Cond = Union[NAllyOfType, EnemyInRange, CanAfford]
+Cond = Union[NAllyOfType, NEnemyOfType, NAllyAttacking, NAllyHarvesting,
+             EnemyInRange, AllyInEnemyRange, EnemyInUnitsRange,
+             DistanceFromEnemy, UnitsStrongest, IsPlayerInPosition,
+             CanAfford]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,7 +220,8 @@ class For:
     body: Tuple["Command", ...]
 
 
-Command = Union[Train, Build, Harvest, Attack, MoveAway, Idle, If, For]
+Command = Union[Train, Build, Harvest, Attack, MoveAway, Idle,
+                MoveToCoord, MoveToUnit, Cluster, If, For]
 Program = Tuple[Command, ...]
 
 
@@ -138,6 +241,7 @@ def compile_program(env: GridnetEnv, program: Program):
     D = 2 * R + 1
     COST = list(ecfg.cost)
     lk_atk = make_lookup(ecfg.can_attack, bool)
+    lk_move = make_lookup(ecfg.can_move, bool)
     lk_harv = make_lookup(ecfg.can_harvest, bool)
     lk_res = make_lookup(ecfg.is_resource, bool)
     lk_stock = make_lookup(ecfg.is_stockpile, bool)
@@ -171,6 +275,14 @@ def compile_program(env: GridnetEnv, program: Program):
         worker = mine & lk_harv(t)
         uid_rank = _rank(worker, state.uid)
         rng_plane = lk_range(t)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        dmg_plane = make_lookup(ecfg.max_damage)(t)
+
+        def walk_to(src_mask):
+            """Greedy descend direction toward a (traced) source mask."""
+            return descend_direction(
+                distance_field(src_mask, passable, iters), free_n)
 
         def count_of(tname):
             tid = type_id.get(tname, -1)
@@ -186,13 +298,66 @@ def compile_program(env: GridnetEnv, program: Program):
                 return jnp.zeros((H, W), bool)
             return t == tid
 
+        def _cmp(a, op, b):
+            return {">=": a >= b, "<=": a <= b, "==": a == b,
+                    ">": a > b, "<": a < b}[op]
+
+        def _range_cover(src_mask):
+            """Cells within attack range of some unit in ``src_mask``
+            (squared-Euclidean ranges, Unit.java:424-435)."""
+            cover = jnp.zeros((H, W), bool)
+            for dy in range(-R, R + 1):
+                for dx in range(-R, R + 1):
+                    d2 = dx * dx + dy * dy
+                    if d2 == 0:
+                        continue
+                    cover = cover | K._shift(
+                        src_mask & (rng_plane * rng_plane >= d2),
+                        dx, dy, fill=False)
+            return cover
+
         def cond_value(c) -> jax.Array:
             if isinstance(c, NAllyOfType):
-                return count_of(c.unit) >= c.k
+                return _cmp(count_of(c.unit), c.op, c.k)
+            if isinstance(c, NEnemyOfType):
+                tid = type_id.get(c.unit, -1)
+                n = jnp.sum(enemy & (t == tid)).astype(jnp.int32) \
+                    if tid >= 0 else jnp.int32(0)
+                return _cmp(n, c.op, c.k)
+            if isinstance(c, NAllyAttacking):
+                n = jnp.sum(mine & state.busy
+                            & (state.atype == ATTACK)).astype(jnp.int32)
+                return _cmp(n, c.op, c.k)
+            if isinstance(c, NAllyHarvesting):
+                n = jnp.sum(mine & state.busy
+                            & (state.atype == HARVEST)).astype(jnp.int32)
+                return _cmp(n, c.op, c.k)
             if isinstance(c, EnemyInRange):
                 # enemy within r (path distance) of an own base
                 near = (d_base <= c.r) & enemy
                 return jnp.any(near)
+            if isinstance(c, AllyInEnemyRange):
+                return jnp.any(mine & _range_cover(enemy))
+            if isinstance(c, EnemyInUnitsRange):
+                return jnp.any(enemy & _range_cover(mine & lk_atk(t)))
+            if isinstance(c, DistanceFromEnemy):
+                free = jnp.ones((H, W), bool)
+                d_free = distance_field(enemy, free, iters)
+                dmin = jnp.min(jnp.where(mine, d_free, H * W))
+                return _cmp(dmin, c.op, c.d)
+            if isinstance(c, UnitsStrongest):
+                own_hp = jnp.sum(jnp.where(mine, state.hp, 0))
+                foe_hp = jnp.sum(jnp.where(enemy, state.hp, 0))
+                return (own_hp > foe_hp) if c.side == "Ally" \
+                    else (foe_hp > own_hp)
+            if isinstance(c, IsPlayerInPosition):
+                xs_ = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+                ys_ = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+                east = xs_ >= (W + 1) // 2
+                south = ys_ >= (H + 1) // 2
+                quad = {0: ~east & ~south, 1: east & ~south,
+                        2: ~east & south, 3: east & south}[c.quadrant]
+                return jnp.any(my_base & quad)
             if isinstance(c, CanAfford):
                 tid = type_id.get(c.unit, -1)
                 if tid < 0:
@@ -218,19 +383,26 @@ def compile_program(env: GridnetEnv, program: Program):
                     & (d2 <= rng_plane * rng_plane)
                 hp_at = K._shift(lk_hp, -dx, -dy, fill=0)
                 dmg_at = K._shift(lk_dmg, -dx, -dy, fill=0)
-                s = score_fn(hp_at.astype(jnp.float32),
-                             dmg_at.astype(jnp.float32))
-                take = e_at & (s > best_s)
                 rel = (R + dy) * D + (R + dx)
+                s = score_fn(hp_at.astype(jnp.float32),
+                             dmg_at.astype(jnp.float32),
+                             jnp.float32(d2), rel)
+                take = e_at & (s > best_s)
                 best_rel = jnp.where(take, rel, best_rel)
                 best_s = jnp.where(take, s, best_s)
             return best_rel, jnp.isfinite(best_s)
 
+        # per-unit in-range target policies (DSLParametersConcrete/*.java;
+        # scan order is ascending d2, so a constant score ties to Closest)
         TARGETS = {
-            "Closest": lambda hp, dmg: jnp.zeros_like(hp),  # scan order
-            "Weakest": lambda hp, dmg: -hp,
-            "MostHealthy": lambda hp, dmg: hp,
-            "Strongest": lambda hp, dmg: dmg,
+            "Closest": lambda hp, dmg, d2, rel: jnp.zeros_like(hp),
+            "Farthest": lambda hp, dmg, d2, rel: jnp.full_like(hp, d2),
+            "Weakest": lambda hp, dmg, d2, rel: -hp,
+            "LessHealthy": lambda hp, dmg, d2, rel: -hp,
+            "MostHealthy": lambda hp, dmg, d2, rel: hp,
+            "Strongest": lambda hp, dmg, d2, rel: dmg,
+            "Random": lambda hp, dmg, d2, rel: jax.random.uniform(
+                jax.random.fold_in(key, rel), hp.shape),
         }
 
         def run(cmds, out, claimed, gate):
@@ -297,8 +469,11 @@ def compile_program(env: GridnetEnv, program: Program):
                     out = _put(out, walk, MOVE, p1=mdir)
                     claimed = claimed | unit_ok
                 elif isinstance(cmd, MoveAway):
+                    # move-family commands only ever claim MOBILE units
+                    # (the Java loop assigns nothing when findPath fails
+                    # for an immobile unit, so it stays unclaimed)
                     unit_ok = (idle & ~claimed & mine & filt(cmd.filter)
-                               & gate)
+                               & lk_move(t) & gate)
                     # ascend the enemy distance field; a unit's own cell
                     # is occupied (INF) so its value = 1 + min neighbor
                     CAP = jnp.int32(H * W)
@@ -308,6 +483,52 @@ def compile_program(env: GridnetEnv, program: Program):
                         0))
                     away = CAP - jnp.where(mine, d_here, d_fin)
                     mdir = descend_direction(away, free_n)
+                    walk = unit_ok & (mdir >= 0)
+                    out = _put(out, walk, MOVE, p1=mdir)
+                    claimed = claimed | unit_ok
+                elif isinstance(cmd, MoveToCoord):
+                    unit_ok = (idle & ~claimed & mine & filt(cmd.filter)
+                               & lk_move(t) & gate)
+                    src = (xs == cmd.x) & (ys == cmd.y)
+                    mdir = walk_to(src)
+                    walk = unit_ok & (mdir >= 0)
+                    out = _put(out, walk, MOVE, p1=mdir)
+                    claimed = claimed | unit_ok
+                elif isinstance(cmd, MoveToUnit):
+                    unit_ok = (idle & ~claimed & mine & filt(cmd.filter)
+                               & lk_move(t) & gate)
+                    side = enemy if cmd.side == "Enemy" else mine
+                    if cmd.target == "Closest":
+                        dfield = d_enemy if cmd.side == "Enemy" \
+                            else distance_field(mine, passable, iters)
+                        mdir = descend_direction(dfield, free_n)
+                    else:
+                        free = jnp.ones((H, W), bool)
+                        hp_f = state.hp.astype(jnp.float32)
+                        score = {
+                            "Farthest": distance_field(
+                                mine, free, iters).astype(jnp.float32),
+                            "Weakest": -hp_f,
+                            "LessHealthy": -hp_f,
+                            "MostHealthy": hp_f,
+                            "Strongest": dmg_plane.astype(jnp.float32),
+                            "Random": jax.random.uniform(key, (H, W)),
+                        }[cmd.target]
+                        s = jnp.where(side, score, -jnp.inf).reshape(-1)
+                        pick = jnp.argmax(s)
+                        src = (jnp.arange(H * W) == pick).reshape(H, W)
+                        mdir = walk_to(src & jnp.any(side))
+                    walk = unit_ok & (mdir >= 0)
+                    out = _put(out, walk, MOVE, p1=mdir)
+                    claimed = claimed | unit_ok
+                elif isinstance(cmd, Cluster):
+                    unit_ok = (idle & ~claimed & mine & filt(cmd.filter)
+                               & lk_move(t) & gate)
+                    n = jnp.maximum(jnp.sum(unit_ok), 1)
+                    cx = jnp.sum(jnp.where(unit_ok, xs, 0)) // n
+                    cy = jnp.sum(jnp.where(unit_ok, ys, 0)) // n
+                    src = (xs == cx) & (ys == cy)
+                    mdir = walk_to(src)
                     walk = unit_ok & (mdir >= 0)
                     out = _put(out, walk, MOVE, p1=mdir)
                     claimed = claimed | unit_ok

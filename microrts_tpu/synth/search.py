@@ -26,18 +26,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..env.gridnet import GridnetEnv
-from .dsl import (Attack, Build, Cond, EnemyInRange, For, Harvest, Idle,
-                  If, MoveAway, NAllyOfType, Program, Train,
-                  compile_program)
+from .dsl import (AllyInEnemyRange, Attack, Build, Cluster, Cond,
+                  DistanceFromEnemy, EnemyInRange, EnemyInUnitsRange, For,
+                  Harvest, Idle, If, IsPlayerInPosition, MoveAway,
+                  MoveToCoord, MoveToUnit, NAllyAttacking,
+                  NAllyHarvesting, NAllyOfType, NEnemyOfType, Program,
+                  Train, UnitsStrongest, compile_program)
 
 UNIT_TYPES = ("Worker", "Light", "Heavy", "Ranged")
-TARGETS = ("Closest", "Weakest", "Strongest", "MostHealthy")
+TARGETS = ("Closest", "Farthest", "Weakest", "LessHealthy", "Strongest",
+           "MostHealthy", "Random")
+OPS = (">=", "<=", ">")
 
 
-def random_command(rng: random.Random, depth: int = 0):
-    kinds = ["train", "build", "harvest", "attack", "moveaway", "idle"]
+def random_command(rng: random.Random, depth: int = 0, hw=(8, 8)):
+    kinds = ["train", "build", "harvest", "attack", "moveaway", "idle",
+             "movecoord", "moveunit", "cluster"]
     if depth == 0:
-        kinds += ["if"] * 2
+        kinds += ["if"] * 3
     k = rng.choice(kinds)
     if k == "train":
         unit = rng.choice(UNIT_TYPES)
@@ -54,16 +60,38 @@ def random_command(rng: random.Random, depth: int = 0):
         return MoveAway(rng.choice(("All",) + UNIT_TYPES))
     if k == "idle":
         return Idle(rng.choice(("All",) + UNIT_TYPES))
+    if k == "movecoord":
+        return MoveToCoord(rng.randrange(hw[1]), rng.randrange(hw[0]),
+                           rng.choice(("All",) + UNIT_TYPES))
+    if k == "moveunit":
+        return MoveToUnit(rng.choice(("All",) + UNIT_TYPES),
+                          rng.choice(TARGETS),
+                          rng.choice(("Enemy", "Ally")))
+    if k == "cluster":
+        return Cluster(rng.choice(("All",) + UNIT_TYPES))
     cond = random_cond(rng)
-    body = tuple(random_command(rng, depth + 1)
+    body = tuple(random_command(rng, depth + 1, hw)
                  for _ in range(rng.randint(1, 2)))
     return If(cond, body)
 
 
 def random_cond(rng: random.Random) -> Cond:
-    if rng.random() < 0.5:
-        return NAllyOfType(rng.choice(UNIT_TYPES), rng.randint(1, 6))
-    return EnemyInRange(rng.randint(2, 10))
+    draws = (
+        lambda: NAllyOfType(rng.choice(UNIT_TYPES), rng.randint(1, 6),
+                            rng.choice(OPS)),
+        lambda: NEnemyOfType(rng.choice(UNIT_TYPES), rng.randint(1, 6),
+                             rng.choice(OPS)),
+        lambda: NAllyAttacking(rng.randint(1, 4), rng.choice(OPS)),
+        lambda: NAllyHarvesting(rng.randint(1, 3), rng.choice(OPS)),
+        lambda: EnemyInRange(rng.randint(2, 10)),
+        lambda: AllyInEnemyRange(),
+        lambda: EnemyInUnitsRange(),
+        lambda: DistanceFromEnemy(rng.randint(2, 12),
+                                  rng.choice(("<=", ">"))),
+        lambda: UnitsStrongest(rng.choice(("Ally", "Enemy"))),
+        lambda: IsPlayerInPosition(rng.randrange(4)),
+    )
+    return rng.choice(draws)()
 
 
 def random_program(rng: random.Random, n_cmds: int = 4) -> Program:

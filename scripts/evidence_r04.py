@@ -67,7 +67,7 @@ def _wtl(w0, w1):
     return wins, n - wins - loss, loss
 
 
-def section_a(out, games=8):
+def section_a(out, games=8, chunk=8):
     """NaiveMCTS must BEAT flat MC and the hill-climber head-to-head at
     matched playout budget (VERDICT r3 next-round item 1)."""
     from microrts_tpu.bots.search import monte_carlo_bot, naive_sampling_bot
@@ -98,7 +98,7 @@ def section_a(out, games=8):
     for ln, rn in pairs:
         t0 = time.time()
         w0, w1 = play_matches_both(env, mk[ln](), mk[rn](), n_games=games,
-                                   max_cycles=2000, seed=17, chunk=8)
+                                   max_cycles=2000, seed=17, chunk=chunk)
         w, t, l = _wtl(w0, w1)
         score[ln] += w + 0.5 * t
         score[rn] += l + 0.5 * t
@@ -156,7 +156,7 @@ def _bot_table(env):
     }
 
 
-def section_b(out, only=None, games=8):
+def section_b(out, only=None, games=8, chunk_override=None):
     from microrts_tpu.config import make_bot
     from microrts_tpu.eval.tournament import play_matches_both
 
@@ -173,7 +173,7 @@ def section_b(out, only=None, games=8):
         t0 = time.time()
         try:
             bot = mk()
-            chunk = 4 if name == "ABCD" else 8
+            chunk = chunk_override or (4 if name == "ABCD" else 8)
             w0, w1 = play_matches_both(env, bot, rb, n_games=games,
                                        max_cycles=2000, seed=5,
                                        chunk=chunk)
@@ -230,6 +230,8 @@ def main():
     ap.add_argument("--bots", nargs="+", default=None,
                     help="restrict section B to these bots")
     ap.add_argument("--games", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="decision frames per device dispatch")
     ap.add_argument("--append", action="store_true")
     ap.add_argument("-o", "--out", default="RESULTS.md")
     args = ap.parse_args()
@@ -245,9 +247,11 @@ def main():
         t0 = time.time()
         try:
             if s.upper() == "B":
-                section_b(args.out, only=args.bots, games=args.games)
+                section_b(args.out, only=args.bots, games=args.games,
+                          chunk_override=args.chunk)
             elif s.upper() == "A":
-                section_a(args.out, games=args.games)
+                section_a(args.out, games=args.games,
+                          chunk=args.chunk or 8)
             elif s.upper() == "E":
                 section_e(args.out, games=args.games)
             else:

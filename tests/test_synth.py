@@ -91,6 +91,63 @@ def test_random_programs_compile_and_are_legal(env8):
         assert _legal(env, s, a, 0), prog
 
 
+def test_widened_grammar_atoms_legal(env8):
+    """Every round-4 grammar atom (move-to/cluster commands, the extended
+    target policies, the full boolean set) compiles and emits only legal
+    actions at reset (ai/synthesis parity: MoveToCoordinatesBasic,
+    MoveToUnitBasic, ClusterBasic, HaveQtd*/Have*Range/DistanceFromEnemy/
+    HaveUnitsStrongest/IsPlayerInPosition + ConditionalBiggerThen ops)."""
+    from microrts_tpu.synth.dsl import (AllyInEnemyRange, Cluster,
+                                        DistanceFromEnemy,
+                                        EnemyInUnitsRange,
+                                        IsPlayerInPosition, MoveToCoord,
+                                        MoveToUnit, NAllyAttacking,
+                                        NAllyHarvesting, NEnemyOfType,
+                                        UnitsStrongest)
+
+    env = env8
+    s = env.reset(jax.random.PRNGKey(0))
+    progs = [
+        (MoveToCoord(7, 7, "All"),),
+        (MoveToUnit("All", "Weakest", "Enemy"),),
+        (MoveToUnit("Worker", "Random", "Ally"),),
+        (Cluster("All"),),
+        (Attack("All", "Farthest"),),
+        (Attack("All", "Random"),),
+        (If(NEnemyOfType("Worker", 1), (Attack("All", "LessHealthy"),)),),
+        (If(NAllyAttacking(1, "<="), (Harvest(2),)),),
+        (If(NAllyHarvesting(0, "=="), (Train("Base", "Worker", 3),)),),
+        (If(AllyInEnemyRange(), (Cluster("All"),)),
+         Attack("All", "Closest")),
+        (If(EnemyInUnitsRange(), (Attack("All", "Strongest"),)),
+         Harvest(1)),
+        (If(DistanceFromEnemy(6, "<="), (MoveToCoord(0, 0),)),
+         Harvest(1)),
+        (If(UnitsStrongest("Ally"), (Attack("All", "Closest"),)),
+         Harvest(1)),
+        (If(IsPlayerInPosition(0), (Harvest(2),)),
+         Attack("All", "Closest")),
+    ]
+    for i, prog in enumerate(progs):
+        a = compile_program(env, prog)(s, 0, jax.random.PRNGKey(i))
+        assert _legal(env, s, np.asarray(a), 0), prog
+
+
+def test_move_family_never_claims_buildings(env8):
+    """A MoveToCoord('All') leaves bases unclaimed so a later Train can
+    still use them (Java: findPath fails for immobile units and the loop
+    assigns nothing)."""
+    from microrts_tpu.synth.dsl import MoveToCoord
+
+    env = env8
+    prog = (MoveToCoord(7, 7, "All"), Train("Base", "Worker", 5))
+    s = env.reset(jax.random.PRNGKey(1))
+    a = np.asarray(compile_program(env, prog)(s, 0, jax.random.PRNGKey(2)))
+    bases = (np.asarray(s.utype) == env.cfg.base_id + 1) \
+        & (np.asarray(s.owner) == 0)
+    assert (a[bases][:, 0] == 4).all(), "base should still PRODUCE"
+
+
 def test_synthesis_improves_or_holds_fitness(env8):
     env = env8
     opponents = [random_bot(env, 5.0)]
