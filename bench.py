@@ -162,12 +162,16 @@ def main():
                 for actor_name in ("random", "rush"):
                     if map_key == "64x64" and num_envs > 4096:
                         continue  # HBM: 16k 64x64 states exceed v5e (doc'd)
-                    if (map_key, num_envs, actor_name) == \
-                            ("32x32", 16384, "rush"):
-                        # 16k 32x32 rush actors killed the tunneled TPU
-                        # worker twice (UNAVAILABLE mid-dispatch): the
-                        # per-dispatch work exceeds the tunnel's
-                        # tolerance; the 4096 row covers the config
+                    if (map_key, num_envs, actor_name) in (
+                            ("32x32", 16384, "rush"),
+                            ("64x64", 4096, "rush")):
+                        # These rush-actor cells killed the tunneled TPU
+                        # worker repeatedly (UNAVAILABLE mid-dispatch,
+                        # 2x and 4x respectively, with trivial probes
+                        # succeeding in between): the per-dispatch work
+                        # exceeds the tunnel's tolerance.  The next-
+                        # smaller batch row covers each config, and both
+                        # maps' rush throughput peaks at B=1024 anyway.
                         continue
                     if (map_key, num_envs, actor_name) in done:
                         continue
