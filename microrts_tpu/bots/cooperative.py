@@ -62,9 +62,13 @@ def cooperative_genome_spec(env: GridnetEnv, hidden: int = 32,
 
 
 def cooperative_bot(env: GridnetEnv, genomes: Optional[jax.Array] = None,
-                    hidden: int = 32, rank: int = 4, seed: int = 0):
+                    hidden: int = 32, rank: int = 4, seed: int = 0,
+                    apply_fn=None):
     """``bot(state, player, key) -> [H, W, 7]``.  ``genomes``: [T, G]
-    per-unit-type SSVD genome matrix (see ``cooperative_genome_spec``)."""
+    per-unit-type SSVD genome matrix (see ``cooperative_genome_spec``).
+    ``apply_fn(ti, xs [HW, in]) -> [HW, out]`` overrides the per-type
+    network (e.g. a compiled NEAT net, train/neat.py), replacing the
+    SSVD genome path."""
     cfg = env.cfg.engine
     T = cfg.num_types
     H, W = env.h, env.w
@@ -112,8 +116,11 @@ def cooperative_bot(env: GridnetEnv, genomes: Optional[jax.Array] = None,
 
         out = jnp.zeros((H * W, dims[-1]), jnp.float32)
         for ti in range(T):   # per-type nets; select by cell type (no gather)
-            o_t = jax.vmap(lambda x: logits_net(genomes[ti], x, dims, rank))(
-                cell_in)
+            if apply_fn is not None:
+                o_t = apply_fn(ti, cell_in)
+            else:
+                o_t = jax.vmap(
+                    lambda x: logits_net(genomes[ti], x, dims, rank))(cell_in)
             out = jnp.where((t.reshape(-1) == ti)[:, None], o_t, out)
         tile = jnp.argmax(out[:, :H * W], -1).reshape(H, W)   # target tile
         typ = jnp.argmax(out[:, H * W:], -1).reshape(H, W)    # type / nullop
