@@ -156,15 +156,18 @@ class PPOTrainer:
             tr = Transition(obs=obs, mask=mask, action=action,
                             logprob=logprob, value=value, reward=r,
                             done=reset)
-            return (nstates, nsteps, keys), tr
+            # terminal winloss (+1 only on a PLAYER-0 WIN reset; cutoff
+            # resets carry 0) — lets metrics report wins/episodes
+            win = reset & (rewards[:, 0, 0] > 0)
+            return (nstates, nsteps, keys), (tr, win)
 
-        (states, steps, _), traj = jax.lax.scan(
+        (states, steps, _), (traj, wins) = jax.lax.scan(
             step, (ts.env_states, ts.env_steps, env_keys), None,
             length=cfg.rollout_len)
         last_obs = jax.vmap(self._obs)(states)
         _, last_value = self.model.apply(ts.params, last_obs)
         return ts.replace(env_states=states, env_steps=steps), \
-            traj, last_value
+            traj, last_value, jnp.sum(wins)
 
     def _gae(self, traj: Transition, last_value):
         cfg = self.cfg
@@ -221,7 +224,7 @@ class PPOTrainer:
         cfg = self.cfg
         if env_ids is None:
             env_ids = jnp.arange(cfg.num_envs, dtype=jnp.uint32)
-        ts, traj, last_value = self._rollout(ts, env_ids)
+        ts, traj, last_value, wins = self._rollout(ts, env_ids)
         adv, ret = self._gae(traj, last_value)
 
         def gmean(x):
@@ -273,6 +276,8 @@ class PPOTrainer:
         episodes = jnp.sum(traj.done)
         metrics["episodes"] = (jax.lax.psum(episodes, axis_name)
                                if axis_name else episodes)
+        metrics["wins"] = (jax.lax.psum(wins, axis_name)
+                           if axis_name else wins)
         if axis_name:
             for k in ("pg_loss", "v_loss", "entropy", "ratio"):
                 metrics[k] = jax.lax.pmean(metrics[k], axis_name)

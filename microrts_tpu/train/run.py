@@ -76,6 +76,7 @@ def main(argv=None):
         sps = steps_per_update * max(u - 1, 1) / max(time.time() - t0, 1e-9)
         print(f"update {u:4d}  reward/step {float(m['mean_reward']):+.4f}  "
               f"episodes {int(m['episodes'])}  "
+              f"wins {int(m['wins'])}  "
               f"entropy {float(m['entropy']):.2f}  "
               f"ratio {float(m['ratio']):.3f}  "
               f"env-steps/s {sps:,.0f}", flush=True)

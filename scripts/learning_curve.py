@@ -44,15 +44,20 @@ def curve(env, opponent_name, updates, eval_every, eval_games, num_envs,
     wr0 = evaluate(trainer, ts, opponent, eval_games)
     rows.append((0, wr0, 0.0, time.time() - t0))
     print(f"  update 0: win-rate {wr0:.2f}", flush=True)
+    wins = episodes = 0
     for u in range(1, updates + 1):
         ts, m = update(ts)
+        wins += int(m["wins"])
+        episodes += int(m["episodes"])
         if u % eval_every == 0 or u == updates:
             wr = evaluate(trainer, ts, opponent, eval_games)
             rows.append((u, wr, float(m["mean_reward"]),
                          time.time() - t0))
             print(f"  update {u}: win-rate {wr:.2f} "
                   f"reward/step {float(m['mean_reward']):+.4f} "
+                  f"train-wins {wins}/{episodes} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+            wins = episodes = 0
     return rows, ts
 
 
