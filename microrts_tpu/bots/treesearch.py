@@ -273,9 +273,14 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
                              jnp.where(la, dist_vis, 0.0))
         return sample_arms(sp, key, dist, m["can_act"]), st
 
-    def search(tree: _NaiveTree, maxp, t0, key) -> _NaiveTree:
-        """Run ``n_playouts`` select/playout/propagate iterations on an
-        existing tree (the computeDuringOneGameFrame loop)."""
+    def search(tree: _NaiveTree, maxp, t0, key,
+               n_iters=None) -> _NaiveTree:
+        """Run select/playout/propagate iterations on an existing tree
+        (the computeDuringOneGameFrame loop).  ``n_iters`` (default the
+        static ``n_playouts``) may be a TRACED count — the anytime
+        budget of the ContinuingAI wrapper (fori_loop lowers to a
+        while_loop); the TwoPhase switch point stays keyed to the
+        static budget."""
 
         def one_playout(it, carry):
             tree, key = carry
@@ -401,8 +406,8 @@ def naive_mcts_bot(env: GridnetEnv, n_playouts: int = 64,
             tree = jax.lax.fori_loop(0, D + 2, backprop, tree)
             return tree, key
 
-        tree, _ = jax.lax.fori_loop(0, n_playouts, one_playout,
-                                    (tree, key))
+        n = n_playouts if n_iters is None else n_iters
+        tree, _ = jax.lax.fori_loop(0, n, one_playout, (tree, key))
         return tree
 
     def best_action(tree: _NaiveTree):
@@ -451,10 +456,20 @@ def _node_state_matches(states: State, s: State) -> jax.Array:
     return ok
 
 
-def naive_mcts_continuing(env: GridnetEnv, **kw):
+def naive_mcts_continuing(env: GridnetEnv, per_frame: int = None, **kw):
     """NaiveMCTS with TREE REUSE across consecutive getAction calls — the
     ContinuingAI/InterruptibleAI contract (ContinuingAI.java:11-149,
     InterruptibleAI.java:47-66) in StatefulBot form.
+
+    ``per_frame`` switches on the ANYTIME budget: ContinuingAI grants the
+    search a slice of computation on EVERY game frame, so the budget a
+    move enjoys is proportional to the frames elapsed since the last
+    decision (think-while-idle).  The decision-frame game loop compresses
+    those idle frames away, so the wrapper accounts for them at the
+    decision point instead: iterations = clip(per_frame x frames_elapsed,
+    per_frame, n_playouts) as a traced count into ``search``.  Memory
+    becomes ``(tree, last_decision_time)``.  ``per_frame=None`` keeps the
+    fixed per-move budget (and the bare-tree memory).
 
     Between moves the ``_NaiveTree`` rides in the bot memory.  On each
     call the tree is RE-ROOTED at the node whose stored state physically
@@ -550,18 +565,38 @@ def naive_mcts_continuing(env: GridnetEnv, **kw):
         return jax.tree.map(
             lambda a, b: jnp.where(found, a, b), out, fresh)
 
-    def init(state: State, player):
-        return _fresh(state, jnp.int32(player))
+    if per_frame is None:
+        def init(state: State, player):
+            return _fresh(state, jnp.int32(player))
 
-    def step(state: State, mem, player, key):
-        maxp = jnp.int32(player)
-        tree = _reroot(mem, state, maxp)
-        tree = base.search(tree, maxp, state.time, key)
-        act = base.best_action(tree)
-        # on opponent-only frames the root holds HIS candidate moves —
-        # never play them; the thinking is kept for the next re-root
-        act = jnp.where(_can_act(state, maxp), act, jnp.zeros_like(act))
-        return act, tree
+        def step(state: State, mem, player, key):
+            maxp = jnp.int32(player)
+            tree = _reroot(mem, state, maxp)
+            tree = base.search(tree, maxp, state.time, key)
+            act = base.best_action(tree)
+            # on opponent-only frames the root holds HIS candidate moves
+            # — never play them; the thinking is kept for the next
+            # re-root
+            act = jnp.where(_can_act(state, maxp), act,
+                            jnp.zeros_like(act))
+            return act, tree
+    else:
+        cap = kw.get("n_playouts", 100)
+
+        def init(state: State, player):
+            return (_fresh(state, jnp.int32(player)), state.time)
+
+        def step(state: State, mem, player, key):
+            maxp = jnp.int32(player)
+            tree, last_t = mem
+            dt = jnp.maximum(state.time - last_t, 1)
+            n = jnp.clip(dt * per_frame, per_frame, cap).astype(jnp.int32)
+            tree = _reroot(tree, state, maxp)
+            tree = base.search(tree, maxp, state.time, key, n_iters=n)
+            act = base.best_action(tree)
+            act = jnp.where(_can_act(state, maxp), act,
+                            jnp.zeros_like(act))
+            return act, (tree, state.time)
 
     return StatefulBot(init=init, step=step)
 

@@ -135,3 +135,52 @@ def test_naive_mcts_beats_playout_searchers(env8):
     i = res.names.index("NaiveMCTS")
     w = res.wins.sum(axis=1)
     assert w[i] == w.max()
+
+
+def test_search_accepts_traced_iteration_count(env8):
+    """The anytime budget path: `search(..., n_iters=<traced>)` runs
+    exactly that many iterations (root visits count them)."""
+    env = env8
+    bot = naive_mcts_bot(env, n_playouts=4, max_nodes=24, max_depth=3,
+                         playout_len=8)
+    s = env.reset(jax.random.PRNGKey(0))
+
+    def run(n):
+        t = bot.init_tree(s, jnp.int32(0))
+        t = bot.search(t, jnp.int32(0), s.time, jax.random.PRNGKey(1),
+                       n_iters=n)
+        return t.nvis[0]
+
+    run_j = jax.jit(run)
+    assert int(run_j(jnp.int32(3))) == 3
+    assert int(run_j(jnp.int32(7))) == 7   # same program, new count
+
+
+def test_anytime_continuing_budget_scales_with_elapsed_frames(env8):
+    """ContinuingAI think-while-idle: the per-move iteration budget is
+    per_frame x frames elapsed since the last decision (capped).  Vs an
+    idle-unit opponent every tick is a decision frame (dt=1 -> one
+    slice, exactly Java's per-frame accrual); a fast-forwarded stretch
+    grants the whole accrued budget at once."""
+    from microrts_tpu.bots.treesearch import naive_mcts_continuing
+
+    env = env8
+    per_frame, cap = 2, 40
+    sb = naive_mcts_continuing(env, per_frame=per_frame, n_playouts=cap,
+                               max_nodes=96, max_depth=4, playout_len=8)
+    s = env.reset(jax.random.PRNGKey(0))
+    mem = sb.init(s, 0)
+    step = jax.jit(sb.step, static_argnums=2)
+    # move 1 at t=0: dt clamps to 1 -> per_frame iterations
+    a, mem = step(s, mem, 0, jax.random.PRNGKey(1))
+    assert int(mem[0].nvis[0]) == per_frame
+    # idle stretch: 7 cycle-only frames pass with no decision
+    s2 = s
+    for _ in range(7):
+        s2 = env.engine.cycle(s2)[0]
+    assert int(s2.time) - int(s.time) == 7
+    # move 2: accrued budget = min(7 * per_frame, cap) iterations, all
+    # landing on the root whatever the re-root outcome
+    _, mem = step(s2, mem, 0, jax.random.PRNGKey(2))
+    assert int(mem[0].nvis[0]) >= 7 * per_frame
+    assert int(mem[1]) == int(s2.time)
