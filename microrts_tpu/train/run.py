@@ -92,9 +92,15 @@ def main(argv=None):
     return ts
 
 
-def evaluate(trainer, ts, opponent, n_games: int, max_cycles: int = 2000):
-    """Greedy-policy win-rate vs the opponent (Tournament-style batch)."""
-    from ..models.gridnet_policy import greedy_action
+def evaluate(trainer, ts, opponent, n_games: int, max_cycles: int = 2000,
+             sample: bool = True):
+    """Policy win-rate vs the opponent (Tournament-style batch).
+
+    ``sample=True`` plays the trained object itself — PPO's stochastic
+    policy; ``sample=False`` plays the argmax policy (entropy
+    regularization can leave the argmax degenerate while the sampled
+    policy wins, so greedy eval understates the learner)."""
+    from ..models.gridnet_policy import greedy_action, sample_action
 
     env = trainer.env
 
@@ -102,6 +108,8 @@ def evaluate(trainer, ts, opponent, n_games: int, max_cycles: int = 2000):
         obs = trainer._obs(state)[None]
         logits, _ = trainer.model.apply(ts.params, obs)
         mask = trainer._mask(state)
+        if sample:
+            return sample_action(key, logits[0], mask, trainer.space)[0]
         return greedy_action(logits[0], mask, trainer.space)
 
     from ..eval.tournament import play_matches

@@ -1,6 +1,6 @@
 """Recorded PPO learning evidence (VERDICT r3 next-round item 4).
 
-Trains the gridnet PPO policy (train/ppo.py) and records greedy-policy
+Trains the gridnet PPO policy (train/ppo.py) and records policy
 win-rate vs updates into RESULTS.md:
 
   phase 1: vs PassiveAI  — must exceed 90% wins (the JNIGridnetVecClient
@@ -42,7 +42,7 @@ def curve(env, opponent_name, updates, eval_every, eval_games, num_envs,
     rows = []
     t0 = time.time()
     wr0 = evaluate(trainer, ts, opponent, eval_games)
-    rows.append((0, wr0, 0.0, time.time() - t0))
+    rows.append((0, wr0, 0.0, 0, 0, time.time() - t0))
     print(f"  update 0: win-rate {wr0:.2f}", flush=True)
     wins = episodes = 0
     for u in range(1, updates + 1):
@@ -51,7 +51,7 @@ def curve(env, opponent_name, updates, eval_every, eval_games, num_envs,
         episodes += int(m["episodes"])
         if u % eval_every == 0 or u == updates:
             wr = evaluate(trainer, ts, opponent, eval_games)
-            rows.append((u, wr, float(m["mean_reward"]),
+            rows.append((u, wr, float(m["mean_reward"]), wins, episodes,
                          time.time() - t0))
             print(f"  update {u}: win-rate {wr:.2f} "
                   f"reward/step {float(m['mean_reward']):+.4f} "
@@ -104,14 +104,17 @@ def main():
     spu = args.num_envs * args.rollout_len
     emit(f"\n## L. PPO learning curves ({args.map}, {args.num_envs} envs x "
          f"{args.rollout_len}-step rollouts = {spu} env-steps/update, "
-         f"greedy-policy eval of {args.eval_games} games/point, device "
+         f"sampled-policy eval of {args.eval_games} games/point, device "
          f"{dev}, {time.time() - t_all:.0f}s total)\n")
-    emit("| phase | update | win-rate | reward/step | wall s |")
-    emit("|---|---|---|---|---|")
-    for u, wr, r, w in rows1:
-        emit(f"| vs PassiveAI | {u} | {wr:.2f} | {r:+.4f} | {w:.0f} |")
-    for u, wr, r, w in rows2:
-        emit(f"| vs WorkerRush | {u} | {wr:.2f} | {r:+.4f} | {w:.0f} |")
+    emit("| phase | update | win-rate | reward/step | train wins/episodes "
+         "| wall s |")
+    emit("|---|---|---|---|---|---|")
+    for u, wr, r, tw, te, w in rows1:
+        emit(f"| vs PassiveAI | {u} | {wr:.2f} | {r:+.4f} | {tw}/{te} | "
+             f"{w:.0f} |")
+    for u, wr, r, tw, te, w in rows2:
+        emit(f"| vs WorkerRush | {u} | {wr:.2f} | {r:+.4f} | {tw}/{te} | "
+             f"{w:.0f} |")
     final1 = rows1[-1][1]
     final2 = max(r[1] for r in rows2)
     emit(f"\nfinal: {final1:.0%} vs PassiveAI "
