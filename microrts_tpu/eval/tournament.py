@@ -34,7 +34,7 @@ CHUNK = 256   # default ticks per device dispatch (long single dispatches
 
 
 def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int,
-              chunk: int = CHUNK):
+              chunk: int = CHUNK, fixed_pair: bool = False):
     """Build the batched-game runner for a bot pool.
 
     Returns ``run(i, j, keys) -> winners`` where ``i``/``j`` are per-game
@@ -48,11 +48,35 @@ def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int,
     long scan, but each device call stays short (the tunneled TPU kills
     multi-minute dispatches) and the host can early-out once every lane
     is done.
+
+    ``fixed_pair=True`` requires ``bots == [bot0, bot1]`` with every lane
+    playing bot0 as player 0 and bot1 as player 1, and COMPILES THE BOTS
+    DIRECTLY instead of dispatching through ``lax.switch``: the switch
+    form inlines every pool bot into BOTH player slots (4 search-bot
+    bodies for a head-to-head pair), and XLA's optimization passes over
+    such a module are superlinear enough that a NaiveMCTS-vs-MonteCarlo
+    pair compiles for HOURS; two fixed-pair programs of half the body
+    count compile in minutes.  Same keys => identical trajectories.
     """
-    branches0 = [
-        (lambda b: lambda s, k: b(s, 0, k))(b) for b in bots]
-    branches1 = [
-        (lambda b: lambda s, k: b(s, 1, k))(b) for b in bots]
+    if fixed_pair:
+        assert len(bots) == 2
+
+        def act0(i, s, k):
+            return bots[0](s, 0, k)
+
+        def act1(j, s, k):
+            return bots[1](s, 1, k)
+    else:
+        branches0 = [
+            (lambda b: lambda s, k: b(s, 0, k))(b) for b in bots]
+        branches1 = [
+            (lambda b: lambda s, k: b(s, 1, k))(b) for b in bots]
+
+        def act0(i, s, k):
+            return jax.lax.switch(i, branches0, s, k)
+
+        def act1(j, s, k):
+            return jax.lax.switch(j, branches1, s, k)
 
     def chunk_fn(i, j, carry, length):
         def body(c, _):
@@ -70,8 +94,8 @@ def _games_fn(env: GridnetEnv, bots: Sequence[Callable], max_cycles: int,
                                jnp.where(d_ff, env.engine.winner(s), -1))
             done = done | d_ff | (s.time >= max_cycles)
             k, k0, k1 = jax.random.split(k, 3)
-            a0 = jax.lax.switch(i, branches0, s, k0)
-            a1 = jax.lax.switch(j, branches1, s, k1)
+            a0 = act0(i, s, k0)
+            a1 = act1(j, s, k1)
             s2, _, done2 = env.step(s, a0, a1)
             # freeze finished games (select keeps the terminal state)
             s3 = jax.tree.map(
@@ -109,7 +133,7 @@ def play_matches(env: GridnetEnv, bot0: Callable, bot1: Callable,
                  seed: int = 0, chunk: int = CHUNK) -> np.ndarray:
     """Run n_games lockstep games of bot0 (player 0) vs bot1 (player 1).
     Returns winners int[n_games]: 0, 1, or -1 (draw / cycle cutoff)."""
-    run = _games_fn(env, [bot0, bot1], max_cycles, chunk)
+    run = _games_fn(env, [bot0, bot1], max_cycles, chunk, fixed_pair=True)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_games)
     i = jnp.zeros(n_games, jnp.int32)
     j = jnp.ones(n_games, jnp.int32)
@@ -119,17 +143,24 @@ def play_matches(env: GridnetEnv, bot0: Callable, bot1: Callable,
 def play_matches_both(env: GridnetEnv, bot0: Callable, bot1: Callable,
                       n_games: int, max_cycles: int = 2000,
                       seed: int = 0, chunk: int = CHUNK):
-    """Both orderings in ONE compiled program: ``n_games`` lanes of
-    bot0-vs-bot1 plus ``n_games`` lanes of bot1-vs-bot0 (the two-position
-    pairing of Tournament.java).  Returns (w01, w10) winner vectors in
-    the respective lane order — one compile instead of two."""
-    run = _games_fn(env, [bot0, bot1], max_cycles, chunk)
+    """Both orderings: ``n_games`` lanes of bot0-vs-bot1 plus ``n_games``
+    lanes of bot1-vs-bot0 (the two-position pairing of Tournament.java).
+    Returns (w01, w10) winner vectors in the respective lane order.
+
+    Runs as TWO fixed-pair programs rather than one switch-dispatched
+    batch: identical trajectories (the key split is preserved), but each
+    program holds one body per bot instead of two, which is the
+    difference between minutes and hours of XLA compile for tree-search
+    pairs (see ``_games_fn``)."""
     keys = jax.random.split(jax.random.PRNGKey(seed), 2 * n_games)
-    i = jnp.concatenate([jnp.zeros(n_games, jnp.int32),
-                         jnp.ones(n_games, jnp.int32)])
-    j = 1 - i
-    w = np.asarray(run(i, j, keys))
-    return w[:n_games], w[n_games:]
+    idx = jnp.zeros(n_games, jnp.int32)
+    run01 = _games_fn(env, [bot0, bot1], max_cycles, chunk,
+                      fixed_pair=True)
+    w01 = np.asarray(run01(idx, idx, keys[:n_games]))
+    run10 = _games_fn(env, [bot1, bot0], max_cycles, chunk,
+                      fixed_pair=True)
+    w10 = np.asarray(run10(idx, idx, keys[n_games:]))
+    return w01, w10
 
 
 @dataclasses.dataclass

@@ -93,13 +93,15 @@ def main():
 
     t_all = time.time()
     print("phase 1: vs PassiveAI", flush=True)
-    rows1, _ = curve(env, "PassiveAI", args.updates1, args.eval_every1,
-                     args.eval_games, args.num_envs, args.rollout_len,
-                     args.seed)
-    print("phase 2: vs WorkerRush (fresh init)", flush=True)
+    rows1, ts1 = curve(env, "PassiveAI", args.updates1, args.eval_every1,
+                       args.eval_games, args.num_envs, args.rollout_len,
+                       args.seed)
+    # phase 2 CONTINUES the phase-1 policy (curriculum): fresh-init
+    # policies die to the rush before any win signal exists
+    print("phase 2: vs WorkerRush (resumed from phase 1)", flush=True)
     rows2, _ = curve(env, "WorkerRush", args.updates2, args.eval_every2,
                      args.eval_games, args.num_envs, args.rollout_len,
-                     args.seed)
+                     args.seed, resume_params=ts1.params)
 
     spu = args.num_envs * args.rollout_len
     emit(f"\n## L. PPO learning curves ({args.map}, {args.num_envs} envs x "
