@@ -231,13 +231,24 @@ def _make_dfs(env: GridnetEnv, *, alt: bool, max_depth: int,
 
             return jax.lax.cond(finish, pop, draw, c)
 
+        key, kF = jax.random.split(key)
         c = (states, ochoice, omore, ctxs, alpha, beta, best, mover_a,
              nextsim_a, down_arms, root_arms, root_set, jnp.int32(0), key,
              jnp.bool_(False), jnp.int32(0))
         c = jax.lax.while_loop(cond, body, c)
-        root_arms, root_value = c[10], _row(c[6], 0)
+        root_arms, root_set_f, root_value = c[10], c[11], _row(c[6], 0)
 
         act = arms_to_action(sp_arm, root_arms)
+        if playout_bot is not None:
+            # Budget fallback: Java ABCD has NO node cap (it completes
+            # the full depth every move, ABCD.java:105-193); under a
+            # real-time node budget SOMETHING must be played when no
+            # root child finished evaluating — play the bot's own
+            # playout policy (the same default-policy prior that seeds
+            # sampled_abcd's candidate 0) instead of an arbitrary first
+            # enumeration.  Documented divergence.
+            fb = playout_bot(state, maxp, kF)
+            act = jnp.where(root_set_f, act, fb)
         can = _can_act(state, maxp) & ~eng.gameover(state)
         return jnp.where(can, act, jnp.zeros_like(act)), root_value
 

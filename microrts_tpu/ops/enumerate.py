@@ -121,15 +121,21 @@ def make_enumerator(env):
     def _arms_of(ctx: EnumCtx, choice: jax.Array) -> jax.Array:
         """k-th legal arm per cell (k = digit), -1 for non-acting cells.
 
-        Per-unit arm order = catalog order with NONE demoted to LAST,
-        mirroring Unit.getUnitActions always appending NONE at the end
-        (Unit.java:516-521) — under a search budget cutoff this explores
-        real moves before the all-idle subtrees, like the Java generator.
+        Per-unit arm order = DESCENDING catalog index: attacks, then
+        produce, return, harvest, moves, NONE last (NONE is catalog 0).
+        This mirrors Unit.getUnitActions' class precedence — attacks
+        first, NONE appended last (Unit.java:389-519) — which matters
+        beyond the set: a budget-truncated DFS evaluates the enumeration
+        PREFIX, and the Java prefix opens with every unit's most
+        aggressive action.  (Enumerating moves-first measured exact
+        ABCD/RTMinimax at 0% vs RandomBiasedAI — the budget exhausted
+        inside passive-opening subtrees.)  Intra-class order is reversed
+        vs Java (e.g. move left before up) — order-only divergence; the
+        enumerated SET is identical (tests/test_enumerate.py).
         """
-        la_rot = jnp.concatenate([ctx.la[:, 1:], ctx.la[:, :1]], axis=-1)
-        kth = (jnp.cumsum(la_rot, axis=-1) - 1 == choice[:, None]) & la_rot
-        idx_rot = jnp.argmax(kth, axis=-1).astype(jnp.int32)
-        arm = jnp.where(idx_rot == A - 1, 0, idx_rot + 1)
+        la_rev = ctx.la[:, ::-1]                   # A-1 ... 1, 0=NONE
+        kth = (jnp.cumsum(la_rev, axis=-1) - 1 == choice[:, None]) & la_rev
+        arm = A - 1 - jnp.argmax(kth, axis=-1).astype(jnp.int32)
         return jnp.where(ctx.acting, arm, -1)
 
     def _consistency(ctx: EnumCtx, arms: jax.Array):
