@@ -96,6 +96,58 @@ def _actor_rush(env, num_envs):
     return actor
 
 
+def _make_run_event(env, vec, num_envs, scan_len, actor,
+                    none_duration: int = 10):
+    """Event-driven self-play: the DECISION-FRAME loop of bot matches.
+
+    Java bot games run the AbstractionLayerAI path — an idle unit the
+    bot leaves unordered sleeps NONE(10) ticks
+    (AbstractionLayerAI.fillWithNones:111) — so most ticks are dead for
+    BOTH players and the engine only needs `cycle`.  The per-tick loop
+    pays the actor (75% of the live step) on every one of those dead
+    ticks; this runner instead acts once per decision frame and jumps
+    the dead gap in closed form (ops/playout.py `playout_step`,
+    `getNextChangeTime` analog — bit-exact: nothing can change between
+    action completions).  Each scan iteration advances a VARIABLE number
+    of real game ticks per lane; the returned tick count is summed for
+    the steps/s metric.  This is exactly how `eval.tournament` plays
+    recorded matches — the bench row measures match-simulation
+    throughput, not the RL per-tick path (the `random` rows cover that).
+    """
+    from microrts_tpu.ops.playout import playout_step
+
+    def body(carry, _):
+        st, sp, key = carry
+        key, k0, k1 = jax.random.split(key, 3)
+        a0, a1 = actor(st, k0, k1)
+        t0 = st.time
+        st2, done = jax.vmap(
+            lambda s, a, b: playout_step(env, s, a, b, none_duration,
+                                         jump_to_event=True))(st, a0, a1)
+        ticks = jnp.sum(st2.time - t0)
+        sp2 = sp + (st2.time - t0)
+        reset_mask = done | (sp2 >= vec.max_steps)
+        fresh_keys = jax.vmap(lambda s: jax.random.split(s.key)[1])(st2)
+        fresh = jax.vmap(env.reset)(fresh_keys)
+        st3 = jax.tree.map(
+            lambda f, n: jnp.where(
+                reset_mask.reshape((-1,) + (1,) * (n.ndim - 1)), f, n),
+            fresh, st2)
+        sp3 = jnp.where(reset_mask, 0, sp2)
+        # consume the full post-step state so XLA cannot DCE the jump
+        live = (st3.hp.sum() + st3.time.sum()
+                + reset_mask.sum()).astype(jnp.int32)
+        return (st3, sp3, key), (ticks, live)
+
+    @jax.jit
+    def run(states, steps, key):
+        (states, steps, key), (ticks, live) = jax.lax.scan(
+            body, (states, steps, key), None, length=scan_len)
+        return states, steps, key, ticks.sum() + 0 * live.sum()
+
+    return run
+
+
 def measure(map_key: str, num_envs: int, actor_name: str,
             scan_len: int = 128, repeats: int = 5):
     """Returns (mean, std, best) env-steps/s over ``repeats`` timed runs."""
@@ -105,9 +157,11 @@ def measure(map_key: str, num_envs: int, actor_name: str,
     env = GridnetEnv(asset_path(MAPS[map_key]))
     vec = VecGridnetEnv(env, num_envs, max_steps=5000)
     states, steps = vec.reset(jax.random.PRNGKey(0))
+    event = actor_name.endswith("-event")
     actor = (_actor_random(env, num_envs) if actor_name == "random"
              else _actor_rush(env, num_envs))
-    run = _make_run(env, vec, num_envs, scan_len, actor)
+    run = ((_make_run_event if event else _make_run)
+           (env, vec, num_envs, scan_len, actor))
 
     key = jax.random.PRNGKey(1)
     states, steps, key, _ = run(states, steps, key)   # compile + warmup
@@ -118,7 +172,8 @@ def measure(map_key: str, num_envs: int, actor_name: str,
         t0 = time.perf_counter()
         states, steps, key, s = run(states, steps, key)
         jax.block_until_ready(states.time)
-        rates.append(num_envs * scan_len / (time.perf_counter() - t0))
+        ticks = int(s) if event else num_envs * scan_len
+        rates.append(ticks / (time.perf_counter() - t0))
     return (statistics.fmean(rates),
             statistics.stdev(rates) if len(rates) > 1 else 0.0,
             max(rates))
@@ -131,7 +186,20 @@ def main():
     ap.add_argument("--num-envs", type=int, default=1024)
     ap.add_argument("--scan-len", type=int, default=128)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--map", default=None, choices=list(MAPS),
+                    help="measure ONE cell instead of the headline")
+    ap.add_argument("--actor", default="random",
+                    choices=["random", "rush", "rush-event"])
     args = ap.parse_args()
+
+    if args.map:
+        mean, std, best = measure(args.map, args.num_envs, args.actor,
+                                  args.scan_len, args.repeats)
+        print(json.dumps({
+            "metric": f"{args.map}/{args.num_envs}/{args.actor}",
+            "value": round(mean, 1), "std": round(std, 1),
+            "best": round(best, 1), "unit": "steps/s"}))
+        return
 
     if args.sweep:
         # INCREMENTAL + RESUMABLE: each finished row appends to
@@ -159,7 +227,7 @@ def main():
                     "|---|---|---|---|---|---|\n")
         for map_key in MAPS:
             for num_envs in (1024, 4096, 16384):
-                for actor_name in ("random", "rush"):
+                for actor_name in ("random", "rush", "rush-event"):
                     if map_key == "64x64" and num_envs > 4096:
                         continue  # HBM: 16k 64x64 states exceed v5e (doc'd)
                     if (map_key, num_envs, actor_name) in (

@@ -85,7 +85,7 @@ def cooperative_bot(env: GridnetEnv, genomes: Optional[jax.Array] = None,
     lk_res = make_lookup(cfg.is_resource, bool)
     lk_range = make_lookup(cfg.attack_range)
     lk_cost = make_lookup(cfg.cost)
-    CAN_MOVE_T = jnp.asarray(cfg.can_move + (False,))   # +nullop slot
+    lk_move_t = make_lookup(cfg.can_move + (False,), bool)  # +nullop slot
 
     def bot(state: State, player, key):
         me = jnp.int32(player)
@@ -184,7 +184,7 @@ def cooperative_bot(env: GridnetEnv, genomes: Optional[jax.Array] = None,
         immobile = ~lk_move(t)
         harvester = lk_harv(t)
         attacker = lk_atk(t)
-        typ_movable = CAN_MOVE_T[jnp.clip(typ, 0, T)]
+        typ_movable = lk_move_t(jnp.clip(typ, 0, T))
         free_any = jnp.any(free_n, -1)
         tdir = jnp.argmax(free_n, -1).astype(jnp.int32)
         afford = balance >= lk_cost(jnp.clip(typ, 0, T - 1))

@@ -200,6 +200,9 @@ def make_bot(name: str, env) -> "callable":
         from .bots import ahtn as AH
         return {
             "SCV": lambda: SV.scv_bot(env),
+            # full pool-selection model (battle-stats CSVs + in-graph
+            # enemy classification; SCV.java:115-175, 356-536)
+            "SCVAdaptive": lambda: SV.scv_bot(env, adaptive=True),
             "AHTN": lambda: AH.ahtn_bot(env),
             "LSI": lambda: LS.lsi_bot(env),
             "PuppetNoPlan": lambda: PU.puppet_ab_bot(env),

@@ -42,6 +42,19 @@ comparisons), ``EnemyInRange(r)`` (enemy within r of any own base),
 ``AllyInEnemyRange`` / ``EnemyInUnitsRange`` (attack-range overlap),
 ``DistanceFromEnemy(d, op)``, ``UnitsStrongest(side)`` (hp-mass
 comparison), ``IsPlayerInPosition(quadrant)``, ``CanAfford(type)``.
+
+Documented divergences:
+
+* ``MoveToUnit`` non-Closest targets pick ONE board-global target
+  (argmax of the score over the side mask) shared by every claimed
+  unit, where the reference's DSLParametersConcrete policies are
+  per-unit; and "Farthest" scores path distance from the own-unit
+  set rather than from each acting unit.  (Closest is exact: enemy
+  side descends the enemy field, ally side routes to the nearest
+  OTHER ally via the two-source field — MoveToUnitBasic.)
+* ``MoveToUnit`` claims only units that received a MOVE; a pathless
+  unit stays available to later commands (Java's loop assigns
+  nothing when findPath fails).
 """
 
 from __future__ import annotations
@@ -56,7 +69,8 @@ from ..engine import kernel as K
 from ..engine.kernel import make_lookup
 from ..engine.types import ATTACK, HARVEST, MOVE, PRODUCE, RETURN, State
 from ..env.gridnet import GridnetEnv
-from ..ops.fields import descend_direction, distance_field
+from ..ops.fields import (descend_direction, descend_direction_excluding,
+                          distance_field, distance_field2)
 from ..bots.scripted import _rank_by_uid
 
 # ---- program AST (hashable frozen dataclasses — a program is a static
@@ -499,9 +513,21 @@ def compile_program(env: GridnetEnv, program: Program):
                                & lk_move(t) & gate)
                     side = enemy if cmd.side == "Enemy" else mine
                     if cmd.target == "Closest":
-                        dfield = d_enemy if cmd.side == "Enemy" \
-                            else distance_field(mine, passable, iters)
-                        mdir = descend_direction(dfield, free_n)
+                        if cmd.side == "Enemy":
+                            mdir = descend_direction(d_enemy, free_n)
+                        else:
+                            # closest OTHER ally (MoveToUnitBasic): the
+                            # mover's own cell is ally-distance 0, so a
+                            # plain ally field would freeze every unit.
+                            # Route toward the nearest DISTINCT source.
+                            st2 = distance_field2(mine, passable, iters)
+                            flatpos = (
+                                jax.lax.broadcasted_iota(
+                                    jnp.int32, (H, W), 0) * W
+                                + jax.lax.broadcasted_iota(
+                                    jnp.int32, (H, W), 1))
+                            mdir = descend_direction_excluding(
+                                st2, free_n, flatpos)
                     else:
                         free = jnp.ones((H, W), bool)
                         hp_f = state.hp.astype(jnp.float32)
@@ -520,7 +546,10 @@ def compile_program(env: GridnetEnv, program: Program):
                         mdir = walk_to(src & jnp.any(side))
                     walk = unit_ok & (mdir >= 0)
                     out = _put(out, walk, MOVE, p1=mdir)
-                    claimed = claimed | unit_ok
+                    # only claim units that actually received a MOVE —
+                    # a pathless unit stays available to later commands
+                    # (Java assigns nothing when findPath fails)
+                    claimed = claimed | walk
                 elif isinstance(cmd, Cluster):
                     unit_ok = (idle & ~claimed & mine & filt(cmd.filter)
                                & lk_move(t) & gate)

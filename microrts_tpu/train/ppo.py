@@ -92,6 +92,9 @@ class PPOTrainer:
         for i, wv in enumerate(cfg.reward_weights[:nr]):
             w[i] = wv
         self.reward_w = jnp.asarray(w)
+        # the wins metric reads the winloss reward component by NAME so a
+        # reconfigured/reordered env can't silently report garbage
+        self._winloss_idx = env.cfg.reward_fns.index("winloss")
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array) -> TrainState:
@@ -158,7 +161,7 @@ class PPOTrainer:
                             done=reset)
             # terminal winloss (+1 only on a PLAYER-0 WIN reset; cutoff
             # resets carry 0) — lets metrics report wins/episodes
-            win = reset & (rewards[:, 0, 0] > 0)
+            win = reset & (rewards[:, 0, self._winloss_idx] > 0)
             return (nstates, nsteps, keys), (tr, win)
 
         (states, steps, _), (traj, wins) = jax.lax.scan(

@@ -184,3 +184,51 @@ def test_enumeration_matches_oracle_set(map_rel, ticks):
         if gs.gameover():
             break
     assert compared >= 4  # the comparison must actually have run
+
+
+@pytest.mark.parametrize("map_rel", [
+    "maps/melee4x4light2.xml",
+    "maps/8x8/basesWorkers8x8.xml",
+])
+def test_first_enumeration_is_aggressive_prefix(map_rel):
+    """The FIRST enumerated joint action gives every acting unit its
+    HIGHEST-catalog legal arm (attacks > produce > return > harvest >
+    moves > NONE), mirroring Unit.getUnitActions' class precedence
+    (Unit.java:389-519).  A budget-truncated DFS evaluates the
+    enumeration prefix, so this ordering is load-bearing for exact
+    ABCD/RTMinimax strength (commit ffa2c57: moves-first enumeration
+    measured exact ABCD at 0% vs RandomBiasedAI)."""
+    from microrts_tpu.ops.enumerate import make_enumerator
+
+    map_path = asset_path(map_rel)
+    utt = UnitTypeTable(2)
+    env = GridnetEnv(map_path, utt)
+    pgs = PhysicalGameState.load(map_path, utt)
+    gs = refimpl.GameState(pgs.clone(), utt)
+    state = state_from_pgs(pgs.clone(), env.cfg.engine)
+    init, next_action = make_enumerator(env)
+    for player in (0, 1):
+        od, ctx = init(state, player)
+        _, arms, ok = jax.jit(next_action)(od, ctx)
+        assert bool(ok)
+        acting = np.asarray(ctx.acting)
+        arms = np.asarray(arms).reshape(-1)
+        assert (arms[~acting] == -1).all()
+        # oracle: of ALL consistent joint actions, the first emission
+        # must be the lexicographically LARGEST by descending catalog
+        # arm, most-significant digit = highest flat cell (the odometer's
+        # digit order) — i.e. every unit takes its most aggressive arm
+        # consistent with the (greedily maximized) higher cells
+        oracle = _oracle_joint_actions(gs, player, env)
+        assert oracle is not None
+        cells = sorted(np.nonzero(acting)[0].tolist(), reverse=True)
+
+        def keyof(fs):
+            d = dict(fs)
+            return tuple(d[c] for c in cells)
+
+        best = max(oracle, key=keyof)
+        got = {(int(c), int(arms[c])) for c in np.nonzero(acting)[0]}
+        assert got == set(best), (
+            f"p{player}: first joint action {sorted(got)} is not the "
+            f"aggressive-first maximum {sorted(best)}")

@@ -114,3 +114,33 @@ def test_scv_plays_legally_and_wins(env8):
         if bool(done):
             break
     assert int(env.engine.winner(s)) == 0
+
+
+def test_scv_adaptive_pool_selection(env8):
+    """The full pool-selection model (SCV.java:115-175, 356-536): the
+    bundled ltdsFinais CSV parses, the opening pool is the per-height
+    hardcoded one, and after tick 1000 the in-graph classifier picks a
+    battle-statistics pool whose members (and only they) vote."""
+    import jax.numpy as jnp
+    from microrts_tpu.bots.scv import (POOL_BOTS, _OPENING,
+                                       load_pool_tables)
+
+    env = env8
+    ltd, mem, names = load_pool_tables(env.h)
+    assert ltd.shape[0] == mem.shape[0] == len(names) > 100
+    assert mem.shape[1] == len(POOL_BOTS)
+    # the Java substring scan: every selectable pool has >= 1 member,
+    # and the EMRDeterministico-only pools are dead (quirk reproduced)
+    sel = np.isfinite(ltd).all(-1)
+    assert (mem[sel].sum(-1) >= 1).all()
+
+    bot = scv_bot(env, adaptive=True)
+    s = env.reset(jax.random.PRNGKey(7))
+    a = bot(s, 0, jax.random.PRNGKey(8))
+    assert _legal(env, s, a, 0)
+    # opening (t < 1000) = unanimous vote of the height-8 opening pool
+    # members; after t >= 1000 the CSV pool takes over and still plays
+    # legally
+    s2 = s.replace(time=jnp.int32(1500))
+    a2 = bot(s2, 0, jax.random.PRNGKey(9))
+    assert _legal(env, s2, a2, 0)
