@@ -179,6 +179,41 @@ def measure(map_key: str, num_envs: int, actor_name: str,
             max(rates))
 
 
+def analyze(map_key: str, num_envs: int, actor_name: str,
+            scan_len: int = 128):
+    """Compile-only diagnostics for a sweep cell: peak HBM from XLA's
+    memory analysis, without dispatching (the worker-killing cells die
+    mid-dispatch, so a compile-side answer is the safe probe)."""
+    from microrts_tpu.env.gridnet import GridnetEnv
+    from microrts_tpu.env.vec import VecGridnetEnv
+
+    env = GridnetEnv(asset_path(MAPS[map_key]))
+    vec = VecGridnetEnv(env, num_envs, max_steps=5000)
+    states, steps = vec.reset(jax.random.PRNGKey(0))
+    event = actor_name.endswith("-event")
+    actor = (_actor_random(env, num_envs) if actor_name == "random"
+             else _actor_rush(env, num_envs))
+    run = ((_make_run_event if event else _make_run)
+           (env, vec, num_envs, scan_len, actor))
+    lowered = run.lower(states, steps, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    out = {"cell": f"{map_key}/{num_envs}/{actor_name}"}
+    for f in ("temp_size_in_bytes", "argument_size_in_bytes",
+              "output_size_in_bytes", "alias_size_in_bytes",
+              "generated_code_size_in_bytes"):
+        v = getattr(ma, f, None)
+        if v is not None:
+            out[f] = int(v)
+    tot = (out.get("temp_size_in_bytes", 0)
+           + out.get("argument_size_in_bytes", 0)
+           + out.get("output_size_in_bytes", 0)
+           - out.get("alias_size_in_bytes", 0))
+    out["peak_estimate_gb"] = round(tot / 2**30, 3)
+    print(json.dumps(out))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", action="store_true",
@@ -190,7 +225,15 @@ def main():
                     help="measure ONE cell instead of the headline")
     ap.add_argument("--actor", default="random",
                     choices=["random", "rush", "rush-event"])
+    ap.add_argument("--analyze", action="store_true",
+                    help="compile-only HBM analysis of --map/--num-envs/"
+                         "--actor (no dispatch)")
     args = ap.parse_args()
+
+    if args.analyze:
+        analyze(args.map or "16x16", args.num_envs, args.actor,
+                args.scan_len)
+        return
 
     if args.map:
         mean, std, best = measure(args.map, args.num_envs, args.actor,

@@ -33,8 +33,15 @@ Variants:
 
 Documented divergences: static search budgets (node/playout counts, not
 wall-clock); fixed step_playout instead of Java's "until next choice
-point"; transposition/cache tables dropped (states are re-simulated —
-cheap and branch-free on TPU).
+point".  The transposition/cache tables (TranspositionTable.java,
+CacheTable.java) are structurally subsumed rather than dropped: the
+depth-2 AB variant simulates each (my combo, their combo) leaf exactly
+once per move — there are no revisits for a table to dedup — and the
+MCTS variant stores every expanded state in its arrays-of-nodes tree,
+so revisits descend to stored children without re-simulation.  The only
+residual dedup a state-hash table could buy (distinct combo pairs
+converging to an identical simulated end state) is measured in
+RESULTS.md §P.
 """
 
 from __future__ import annotations

@@ -342,6 +342,132 @@ def section_s(out, games=8):
         _emit(out, f"SCVAdaptive wins {w}, losses {l}, draws {t}.")
 
 
+def section_p(out):
+    """The Puppet transposition-table question (VERDICT r4 item 8,
+    TranspositionTable.java / CacheTable.java): measure what a TT could
+    actually deduplicate in the TPU design.
+
+    PuppetNoPlan's depth-2 search IS an exhaustive K x K playout matrix
+    — each (my combo, their combo) leaf is simulated exactly once per
+    move, so within-search re-simulation is structurally zero; the MCTS
+    variant stores every expanded state in its arrays-of-nodes tree, so
+    re-VISITS descend to stored children without re-simulation (the
+    tree is the transposition table).  The only remaining dedup a Java-
+    style state-hash TT could buy: distinct combo pairs converging to
+    the IDENTICAL simulated end state.  This section counts those
+    collisions over real decision states."""
+    import jax
+    import numpy as np
+    from microrts_tpu.bots.puppet import puppet_combos
+    from microrts_tpu.bots.portfolio import _playout_two
+    from microrts_tpu.ops.evaluation import simple_sqrt_eval3
+    from microrts_tpu.ops.playout import run_playout
+    from microrts_tpu.bots.scripted import light_rush, worker_rush
+
+    env = _env()
+    _, scripts = puppet_combos(env)
+    K = len(scripts)
+    branches = [(lambda b: lambda s, p, k: b(s, p, k))(b)
+                for b in scripts]
+    t_all = time.time()
+
+    def endpoints(state, key):
+        """[K, K] stacked end states of the AB leaf matrix."""
+        def pair(i, j, k):
+            me = lambda s, kk: jax.lax.switch(i, branches, s, 0, kk)
+            op = lambda s, kk: jax.lax.switch(j, branches, s, 1, kk)
+            def act2(s, kk):
+                k0, k1 = jax.random.split(kk)
+                return me(s, k0), op(s, k1)
+            sf, _ = run_playout(env, act2, state, k, 100, 25)
+            return sf
+        ii, jj = jnp.meshgrid(jnp.arange(K), jnp.arange(K),
+                              indexing="ij")
+        keys = jax.random.split(key, K * K).reshape(K, K, -1)
+        return jax.vmap(jax.vmap(pair))(ii, jj, keys)
+
+    import jax.numpy as jnp
+    wr, lr = worker_rush(env), light_rush(env)
+    s = env.reset(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(4)
+    rows = []
+    for t_probe in range(4):
+        ends = endpoints(s, jax.random.fold_in(key, t_probe))
+        # hash each end state's defining planes
+        hs = set()
+        for i in range(K):
+            for j in range(K):
+                leaf = jax.tree.map(lambda x: np.asarray(x[i, j]), ends)
+                hs.add(hash((leaf.utype.tobytes(), leaf.owner.tobytes(),
+                             leaf.hp.tobytes(), leaf.busy.tobytes(),
+                             int(leaf.time))))
+        rows.append((int(s.time), K * K, len(hs)))
+        # advance ~150 ticks of real rush-vs-rush to the next probe state
+        for _ in range(150):
+            k0, k1 = jax.random.split(jax.random.fold_in(key, s.time), 2)
+            s, _, done = env.step(s, wr(s, 0, k0), lr(s, 1, k1))
+            if bool(done):
+                break
+    _emit(out, f"\n## P. Puppet transposition-table measurement "
+               f"(VERDICT r4 item 8; {time.time() - t_all:.0f}s)\n")
+    _emit(out, "Within one PuppetNoPlan move the K x K leaf matrix "
+               "simulates each combo pair exactly once (no revisits to "
+               "dedup); PuppetMCTS stores expanded states in its node "
+               "arrays (revisits descend, never re-simulate).  A Java-"
+               "style state-hash table could only merge combo pairs "
+               "whose simulations CONVERGE to an identical state:\n")
+    _emit(out, "| probe state (tick) | leaf simulations | distinct end "
+               "states |")
+    _emit(out, "|---|---|---|")
+    for t, tot, uniq in rows:
+        _emit(out, f"| {t} | {tot} | {uniq} |")
+    _emit(out, "\nCollisions are the gap between the last two columns — "
+               "a TT would save that fraction of leaf playouts.")
+
+
+def section_y(out, games=8, generations=16, population=8, seed=7):
+    """Synthesis must PRODUCE a winner (VERDICT r4 item 7, the reason
+    ai/synthesis/runners/ exists): grammar-search against LightRush from
+    a RANDOM seed program, then validate the best program head-to-head.
+    The winning program and the fitness curve are the record."""
+    import random as _random
+
+    import jax
+    from microrts_tpu.bots.scripted import light_rush
+    from microrts_tpu.eval.tournament import play_matches_both
+    from microrts_tpu.synth.dsl import compile_program
+    from microrts_tpu.synth.search import random_program, synthesize
+
+    env = _env()
+    lr = light_rush(env)
+    t0 = time.time()
+    rng = _random.Random(seed)
+    res = synthesize(env, [lr], generations=generations,
+                     population=population, games_per_pair=2,
+                     max_cycles=1500, seed=seed,
+                     seed_program=random_program(rng))
+    t_synth = time.time() - t0
+    bot = compile_program(env, res.program)
+    t0 = time.time()
+    w0, w1 = play_matches_both(env, bot, lr, n_games=games,
+                               max_cycles=3000, seed=53, chunk=32)
+    w, t, l = _wtl(w0, w1)
+    _emit(out, f"\n## Y. Synthesis produces a winner (grammar search vs "
+               f"LightRush from a RANDOM seed; {generations} generations "
+               f"x {population} population, 2 games/pair fitness; "
+               f"synth {t_synth:.0f}s + validation "
+               f"{time.time() - t0:.0f}s)\n")
+    _emit(out, "fitness curve (generation, best-so-far): "
+               + ", ".join(f"({g}, {f:.2f})" for g, f in res.history))
+    _emit(out, f"\nhead-to-head validation vs LightRush "
+               f"({2 * games} games, max 3000 cycles): synthesized "
+               f"program wins {w}, losses {l}, draws {t}.")
+    _emit(out, "\nwinning program:\n```python")
+    for cmd in res.program:
+        _emit(out, f"  {cmd!r}")
+    _emit(out, "```")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -381,6 +507,10 @@ def main():
                           budget_ms=args.budget_ms)
             elif s.upper() == "S":
                 section_s(args.out, games=args.games)
+            elif s.upper() == "P":
+                section_p(args.out)
+            elif s.upper() == "Y":
+                section_y(args.out, games=args.games)
             else:
                 raise ValueError(f"unknown section {s}")
         except Exception as e:
