@@ -81,8 +81,13 @@ def _precompile(env, bot, label=""):
     print(f"  [precompiled {label}: {time.time() - t0:.0f}s]", flush=True)
 
 
-def section_a(out, games=8, chunk=None, neval=1):
-    """NaiveMCTS vs flat searchers at matched playout-count budget."""
+def section_a(out, games=8, chunk=None, neval=1, pairs=None,
+              no_header=False):
+    """NaiveMCTS vs flat searchers at matched playout-count budget.
+    ``pairs`` (e.g. ["NaiveMCTS:NaiveSampling"]) restricts to named
+    pairings so each can run in its own timeout'ed process — the tree
+    bots SATURATE the chip (lanes are compute-bound, not width-free),
+    so a pairing at 8 games/side costs ~1 h wall on the tunnel."""
     from microrts_tpu.bots.search import monte_carlo_bot, naive_sampling_bot
     from microrts_tpu.bots.treesearch import naive_mcts_bot
     from microrts_tpu.eval.tournament import play_matches_both
@@ -103,18 +108,23 @@ def section_a(out, games=8, chunk=None, neval=1):
     }
     # per-dispatch budget: seq playout ticks per move (CLAUDE.md <50k)
     seq = {"NaiveMCTS": 4800, "MonteCarlo": 100, "NaiveSampling": 4800}
-    pairs = [("NaiveMCTS", "MonteCarlo"), ("NaiveMCTS", "NaiveSampling"),
-             ("MonteCarlo", "NaiveSampling")]
+    all_pairs = [("NaiveMCTS", "MonteCarlo"),
+                 ("NaiveMCTS", "NaiveSampling"),
+                 ("MonteCarlo", "NaiveSampling")]
+    if pairs:
+        want = {tuple(p.split(":")) for p in pairs}
+        all_pairs = [p for p in all_pairs if p in want]
     t_all = time.time()
     tag = f" x{neval} parallel evals" if neval > 1 else ""
-    _emit(out, f"\n## A. NaiveMCTS vs playout searchers, head-to-head "
-               f"pairs (basesWorkers8x8, equal budget: 48 playouts x "
-               f"100 ticks/move{tag}, {games} games each side, max 2000 "
-               f"cycles)\n")
-    _emit(out, "| pairing | left wins | ties | right wins |")
-    _emit(out, "|---|---|---|---|")
+    if not no_header:
+        _emit(out, f"\n## A. NaiveMCTS vs playout searchers, "
+                   f"head-to-head pairs (basesWorkers8x8, equal budget: "
+                   f"48 playouts x 100 ticks/move{tag}, {games} games "
+                   f"each side, max 2000 cycles)\n")
+        _emit(out, "| pairing | left wins | ties | right wins |")
+        _emit(out, "|---|---|---|---|")
     score = {k: 0.0 for k in mk}
-    for ln, rn in pairs:
+    for ln, rn in all_pairs:
         t0 = time.time()
         bl, br = mk[ln](), mk[rn]()
         ch = chunk or max(1, min(8, 45000 // (seq[ln] + seq[rn])))
@@ -128,10 +138,11 @@ def section_a(out, games=8, chunk=None, neval=1):
         _emit(out, f"| {ln} vs {rn} | {w} | {t} | {l} |")
         print(f"  [{ln} vs {rn}: {time.time() - t0:.0f}s, chunk {ch}]",
               flush=True)
-    rank = sorted(score, key=lambda k: -score[k])
-    _emit(out, "\nranking: " + ", ".join(
-        f"{k} ({score[k]:.1f})" for k in rank)
-        + f"  ({time.time() - t_all:.0f}s)")
+    if not pairs:
+        rank = sorted(score, key=lambda k: -score[k])
+        _emit(out, "\nranking: " + ", ".join(
+            f"{k} ({score[k]:.1f})" for k in rank)
+            + f"  ({time.time() - t_all:.0f}s)")
 
 
 def _bot_table(env):
@@ -371,6 +382,9 @@ def section_p(out):
                 for b in scripts]
     t_all = time.time()
 
+    import jax.numpy as jnp
+
+    @jax.jit
     def endpoints(state, key):
         """[K, K] stacked end states of the AB leaf matrix."""
         def pair(i, j, k):
@@ -386,7 +400,6 @@ def section_p(out):
         keys = jax.random.split(key, K * K).reshape(K, K, -1)
         return jax.vmap(jax.vmap(pair))(ii, jj, keys)
 
-    import jax.numpy as jnp
     wr, lr = worker_rush(env), light_rush(env)
     s = env.reset(jax.random.PRNGKey(3))
     key = jax.random.PRNGKey(4)
@@ -402,12 +415,18 @@ def section_p(out):
                              leaf.hp.tobytes(), leaf.busy.tobytes(),
                              int(leaf.time))))
         rows.append((int(s.time), K * K, len(hs)))
+
         # advance ~150 ticks of real rush-vs-rush to the next probe state
-        for _ in range(150):
-            k0, k1 = jax.random.split(jax.random.fold_in(key, s.time), 2)
-            s, _, done = env.step(s, wr(s, 0, k0), lr(s, 1, k1))
-            if bool(done):
-                break
+        @jax.jit
+        def adv(s, k):
+            def body(c, _):
+                s, k = c
+                k, k0, k1 = jax.random.split(k, 3)
+                s2, _, _ = env.step(s, wr(s, 0, k0), lr(s, 1, k1))
+                return (s2, k), None
+            (s, _), _ = jax.lax.scan(body, (s, k), None, length=150)
+            return s
+        s = adv(s, jax.random.fold_in(key, 100 + t_probe))
     _emit(out, f"\n## P. Puppet transposition-table measurement "
                f"(VERDICT r4 item 8; {time.time() - t_all:.0f}s)\n")
     _emit(out, "Within one PuppetNoPlan move the K x K leaf matrix "
@@ -477,6 +496,10 @@ def main():
     ap.add_argument("--games", type=int, default=8)
     ap.add_argument("--neval", type=int, default=1,
                     help="parallel leaf evaluations in section A")
+    ap.add_argument("--pairs", nargs="+", default=None,
+                    help="restrict section A to Left:Right pairings")
+    ap.add_argument("--no-header", action="store_true",
+                    help="section A: emit only rows (resume a table)")
     ap.add_argument("--chunk", type=int, default=None,
                     help="decision frames per device dispatch")
     ap.add_argument("--budget-ms", type=float, default=100.0)
@@ -499,7 +522,8 @@ def main():
                           chunk_override=args.chunk)
             elif s.upper() == "A":
                 section_a(args.out, games=args.games, chunk=args.chunk,
-                          neval=args.neval)
+                          neval=args.neval, pairs=args.pairs,
+                          no_header=args.no_header)
             elif s.upper() == "E":
                 section_e(args.out, games=args.games)
             elif s.upper() == "W":
