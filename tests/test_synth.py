@@ -211,3 +211,44 @@ def test_distance_field2_two_nearest_distinct():
     assert (d1 <= d2).all()
     both = (i1 >= 0) & (i2 >= 0)
     assert (i1[both] != i2[both]).all()
+
+
+def test_program_export_roundtrip(env8):
+    """dumps/loads/to_module round-trip (the ProgramScript artifact
+    layer of ai/synthesis/grammar/model): the reloaded program is
+    structurally identical and the exported module compiles to a bot
+    producing the same actions."""
+    import os
+    import tempfile
+
+    from microrts_tpu.synth import export as ex
+    from microrts_tpu.synth.dsl import SEED_PROGRAM, If, Idle, \
+        NAllyOfType
+
+    env = env8
+    prog = SEED_PROGRAM + (If(NAllyOfType("Worker", 3, ">="),
+                              (Idle("Worker"),)),)
+    assert ex.loads(ex.dumps(prog)) == prog
+    # file round-trip
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "prog.txt")
+        ex.save_program(prog, p)
+        assert ex.load_program(p) == prog
+        # module export: write, import, build, compare actions
+        mp = os.path.join(d, "synthmod.py")
+        with open(mp, "w") as f:
+            f.write(ex.to_module(prog, "test"))
+        import importlib.util
+        spec = importlib.util.spec_from_file_location("synthmod", mp)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod.PROGRAM == prog
+        s = env.reset(jax.random.PRNGKey(11))
+        k = jax.random.PRNGKey(12)
+        a1 = np.asarray(mod.make(env)(s, 0, k))
+        a2 = np.asarray(compile_program(env, prog)(s, 0, k))
+        np.testing.assert_array_equal(a1, a2)
+    # the no-builtins namespace rejects smuggled code
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ex.loads("__import__('os').system('true')")
