@@ -72,6 +72,7 @@ def _legal(env, s, a, player):
     return legal[real].all()
 
 
+@pytest.mark.heavy
 def test_ahtn_plays_legally(env8):
     env = env8
     bot = jax.jit(ahtn_bot(env, step_playout=10, max_plans=6),

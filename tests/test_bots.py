@@ -38,6 +38,7 @@ def env8():
     return GridnetEnv(f"{MAPS}/8x8/basesWorkers8x8.xml")
 
 
+@pytest.mark.heavy
 def test_worker_rush_beats_passive(env8):
     winner, ticks = _play(env8, worker_rush(env8), passive_bot(env8), 1000)
     assert winner == 0 and ticks < 1000
@@ -110,18 +111,21 @@ def test_worker_rush_plus_plus_beats_passive(env8):
     assert winner == 0
 
 
+@pytest.mark.heavy
 def test_economy_rush_builds_military_and_wins(env8):
     winner, _ = _play(env8, make_bot("EconomyRush", env8),
                       passive_bot(env8), 3000)
     assert winner == 0
 
 
+@pytest.mark.heavy
 def test_crush_v2_wins_with_ranged(env8):
     winner, _ = _play(env8, make_bot("CRush_V2", env8),
                       passive_bot(env8), 3000)
     assert winner == 0
 
 
+@pytest.mark.heavy
 def test_defense_standoff_holds_the_line(env8):
     """WorkerDefense (WorkerDefense.java:117-143): fighters never push past
     the H/2 standoff envelope against a passive enemy — unlike WorkerRush,

@@ -17,6 +17,7 @@ def env():
     return GridnetEnv(f"{MAPS}/melee4x4light2.xml")
 
 
+@pytest.mark.heavy
 def test_calibrate_monotone_and_fits(env):
     factory = lambda n: monte_carlo_bot(env, n_candidates=n, playout_len=8)
     ms_small = measure_move_ms(env, factory(2))
@@ -30,6 +31,7 @@ def test_calibrate_monotone_and_fits(env):
     assert n_floor == 2
 
 
+@pytest.mark.heavy
 def test_time_budgeted_bot_plays_legally(env):
     factory = lambda n: monte_carlo_bot(env, n_candidates=n, playout_len=8)
     bot = TimeBudgetedBot(env, factory, time_budget_ms=10_000.0,

@@ -60,6 +60,7 @@ def test_idrt_minimax_randomized_legal(env):
     assert int(jnp.sum(a[..., 0] > 0)) > 0  # it does something at t=0
 
 
+@pytest.mark.heavy
 def test_continuing_naive_mcts_reuses_tree(env):
     """The ContinuingAI analog must carry tree statistics across moves:
     after a few steps the tree holds MORE nodes than one fresh search

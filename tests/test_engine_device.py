@@ -110,6 +110,7 @@ def test_conflict_policies():
     #                                                   counter incremented
 
 
+@pytest.mark.heavy
 def test_issue_env_fast_path():
     """issue_env (the conflict-machinery-free fast path for decode-vetted
     candidates) must equal the full issue on the env step, tick for tick,

@@ -125,6 +125,7 @@ def _device_joint_actions(env, state, player, n: int):
     ("maps/melee4x4light2.xml", 12),
     ("maps/8x8/basesWorkers8x8.xml", 16),
 ])
+@pytest.mark.smoke
 def test_enumeration_matches_oracle_set(map_rel, ticks):
     map_path = asset_path(map_rel)
     utt = UnitTypeTable(2)
@@ -190,6 +191,7 @@ def test_enumeration_matches_oracle_set(map_rel, ticks):
     "maps/melee4x4light2.xml",
     "maps/8x8/basesWorkers8x8.xml",
 ])
+@pytest.mark.smoke
 def test_first_enumeration_is_aggressive_prefix(map_rel):
     """The FIRST enumerated joint action gives every acting unit its
     HIGHEST-catalog legal arm (attacks > produce > return > harvest >

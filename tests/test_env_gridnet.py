@@ -28,6 +28,7 @@ CASES = [
 
 @pytest.mark.parametrize("map_name,version", CASES,
                          ids=[f"{m}-v{v}" for m, v in CASES])
+@pytest.mark.heavy
 @pytest.mark.parametrize("salt", [0, 1])
 def test_gridnet_parity(map_name, version, salt):
     seed = zlib.crc32(f"{map_name}:{version}:{salt}".encode()) % 997

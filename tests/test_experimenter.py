@@ -6,6 +6,7 @@ import pytest
 from microrts_tpu.eval.experimenter import run_experiments
 
 
+@pytest.mark.heavy
 def test_sweep_two_maps_and_inactivity_cutoff():
     rep = run_experiments(
         ["maps/8x8/basesWorkers8x8.xml", "maps/8x8/FourBasesWorkers8x8.xml"],

@@ -20,6 +20,7 @@ def env():
     return GridnetEnv(f"{MAPS}/8x8/basesWorkers8x8.xml")
 
 
+@pytest.mark.heavy
 def test_expert_mask_and_macros(env):
     ex = ExpertEnv(env)
     s = env.reset(jax.random.PRNGKey(0))
@@ -92,6 +93,7 @@ def test_eval_functions_symmetry_and_signs(env):
     assert ub > free * OPT_UNIT_BONUS_MULTIPLIER  # players add material
 
 
+@pytest.mark.heavy
 def test_search_bot_actions_legal():
     env4 = GridnetEnv(f"{MAPS}/melee4x4light2.xml")
     mc = monte_carlo_bot(env4, n_candidates=4, playout_len=8)
@@ -107,6 +109,7 @@ def test_search_bot_actions_legal():
         assert np.asarray(legal)[real].all()
 
 
+@pytest.mark.heavy
 def test_expert_detailed_mode(env):
     """Detailed mode (unit-type x tile policy) steers units and wins."""
     from microrts_tpu.env.expert import ExpertEnv, detailed_to_gridnet

@@ -15,6 +15,9 @@ from microrts_tpu.env.gridnet import GridnetEnv
 MAPS = "/root/reference/maps"
 
 
+pytestmark = pytest.mark.smoke
+
+
 @pytest.fixture(scope="module")
 def env():
     return GridnetEnv(f"{MAPS}/8x8/basesWorkers8x8.xml", partial_obs=True)

@@ -22,6 +22,9 @@ MAPS = sorted(glob.glob(os.path.join(str(BUNDLED), "maps", "**", "*.xml"),
                         recursive=True))
 
 
+pytestmark = pytest.mark.smoke
+
+
 def test_map_tree_is_bundled():
     # the reference ships 140 maps (SURVEY.md §2 data row); all bundled
     assert len(MAPS) >= 140, f"only {len(MAPS)} maps bundled"

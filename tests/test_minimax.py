@@ -75,6 +75,7 @@ def _eager_abcd(env, state, player, max_depth, max_actions=128):
     return rec(state, 0, maxp, -1e5, 1e5)
 
 
+@pytest.mark.heavy
 def test_abcd_matches_eager_recursion(env4):
     env = env4
     sp = arm_space(env)
@@ -110,6 +111,7 @@ def _legal(env, s, a, player):
     return legal[real].all()
 
 
+@pytest.mark.heavy
 def test_abcd_and_rtminimax_play_legally(env8):
     env = env8
     bots = [

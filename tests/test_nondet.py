@@ -40,6 +40,7 @@ def _run(env, seed, ticks=120):
     return s, hps
 
 
+@pytest.mark.heavy
 def test_nondet_runs_and_reproduces(env3):
     s_a, hps_a = _run(env3, seed=7)
     s_b, hps_b = _run(env3, seed=7)
@@ -48,6 +49,7 @@ def test_nondet_runs_and_reproduces(env3):
     assert all((x == y).all() for x, y in zip(hps_a, hps_b))
 
 
+@pytest.mark.heavy
 def test_nondet_seeds_diverge(env3):
     s_a, hps_a = _run(env3, seed=1)
     s_b, hps_b = _run(env3, seed=2)

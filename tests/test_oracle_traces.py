@@ -14,6 +14,9 @@ from microrts_tpu.interop.replay import replay_trace_oracle
 from microrts_tpu.interop.trace import load_trace
 
 
+pytestmark = pytest.mark.smoke
+
+
 def all_trace_paths():
     root = pathlib.Path("/root/reference/data/traces")
     if not root.exists():

@@ -18,6 +18,7 @@ from microrts_tpu.utils.assets import asset_path
 MAP8 = asset_path("maps/8x8/basesWorkers8x8.xml")
 
 
+@pytest.mark.heavy
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_ppo_update_matches_shapes():
     env = GridnetEnv(MAP8)
@@ -36,6 +37,7 @@ def test_sharded_ppo_update_matches_shapes():
     assert np.isfinite(float(m2["mean_reward"]))
 
 
+@pytest.mark.heavy
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_two_axis_host_env_mesh_matches_flat():
     """A 2-axis (host, env) = (2, 4) mesh must run the SAME program as the
@@ -71,6 +73,7 @@ def test_two_axis_host_env_mesh_matches_flat():
                                        rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.heavy
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_rollout_invariant_across_mesh_shapes():
     """The SAME workload on mesh shapes 1/2/4/8 must roll out bit-identical
@@ -104,6 +107,7 @@ def test_rollout_invariant_across_mesh_shapes():
                                    float(m["mean_reward"]), rtol=1e-6)
 
 
+@pytest.mark.heavy
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_equals_unsharded_update():
     """Same seed, same env count: one PPO update on 1 vs 8 virtual devices

@@ -74,6 +74,7 @@ def test_trace_recording_roundtrip(env, tmp_path):
     assert len(tr.entries[0].pgs.units) == 6
 
 
+@pytest.mark.heavy
 def test_tournament_play_matches(env):
     wr = make_bot("WorkerRush", env)
     pa = make_bot("PassiveAI", env)
@@ -155,6 +156,7 @@ def test_frame_skip():
     assert int(s.time) == 4
 
 
+@pytest.mark.heavy
 def test_remote_bot_loopback():
     """Full game over the SocketAI TCP protocol: our server hosts a rush
     bot; RemoteBot queries it per tick from the local game loop."""

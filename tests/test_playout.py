@@ -61,6 +61,7 @@ def scripted_act2(env):
     return act2
 
 
+@pytest.mark.heavy
 def test_fast_matches_dense_on_decision_points(env):
     """Same deterministic policy => identical final state: fast-forward
     may only skip ticks where nothing could have been issued anyway."""
@@ -80,6 +81,7 @@ def test_fast_matches_dense_on_decision_points(env):
     assert bool(dd) == bool(df)
 
 
+@pytest.mark.heavy
 def test_fast_forward_stops_at_decision_point(env):
     s0 = env.reset(jax.random.PRNGKey(0))
     # t=0 is a decision point on basesWorkers8x8 (idle workers+bases)
@@ -106,6 +108,7 @@ def test_fast_forward_stops_at_decision_point(env):
     assert snapshot(s) == snapshot(s3)
 
 
+@pytest.mark.heavy
 def test_time_cap_and_decision_budget(env):
     act2 = scripted_act2(env)
     s0 = env.reset(jax.random.PRNGKey(0))

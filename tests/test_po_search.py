@@ -112,6 +112,7 @@ def test_believe_forgets_reappeared_uid(env8):
         "believed ghost must vanish once the real unit is seen"
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("level", [1, 2, 3])
 def test_believe_bot_plays_and_advances(env8, level):
     """Each BS level wraps a searcher and plays full-game ticks; actions
@@ -145,6 +146,7 @@ def _legal(env, s, a, player):
     return legal[real].all()
 
 
+@pytest.mark.heavy
 def test_lsi_plays_legally(env8):
     env = env8
     bot = jax.jit(lsi_bot(env, n_probes=8, n_candidates=4,

@@ -134,6 +134,7 @@ def test_informed_naive_mcts_plays_legally(env, model):
     assert bool(np.asarray(a[..., 0]).any())
 
 
+@pytest.mark.heavy
 def test_mlps_mcts_plays_legally(env):
     from microrts_tpu.bots.treesearch import mlps_mcts_bot
     bot = jax.jit(mlps_mcts_bot(env, **TINY), static_argnums=1)

@@ -38,6 +38,7 @@ def _legal(env, s, a, player):
     return legal[real].all()
 
 
+@pytest.mark.heavy
 def test_puppet_ab_plays_legally(env8):
     env = env8
     bot = jax.jit(puppet_ab_bot(env, step_playout=12), static_argnums=1)
@@ -56,6 +57,7 @@ def test_puppet_ab_plays_legally(env8):
     assert produced_real
 
 
+@pytest.mark.heavy
 def test_puppet_mcts_plays_legally(env8):
     env = env8
     bot = jax.jit(puppet_mcts_bot(env, n_playouts=6, max_nodes=12,
@@ -76,6 +78,7 @@ def test_puppet_mcts_plays_legally(env8):
     assert produced_real
 
 
+@pytest.mark.heavy
 def test_puppet_plan_holds_combo_between_searches(env8):
     """PLAN mode (PuppetSearchAB.java:191-230): between searches the
     stored combo replays and last_plan only moves when a search runs."""

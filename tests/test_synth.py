@@ -148,6 +148,7 @@ def test_move_family_never_claims_buildings(env8):
     assert (a[bases][:, 0] == 4).all(), "base should still PRODUCE"
 
 
+@pytest.mark.heavy
 def test_synthesis_improves_or_holds_fitness(env8):
     env = env8
     opponents = [random_bot(env, 5.0)]
