@@ -105,6 +105,7 @@ def test_variant_constructs_and_plays_legally(env8, name):
             break
 
 
+@pytest.mark.heavy
 def test_worker_rush_plus_plus_beats_passive(env8):
     winner, _ = _play(env8, make_bot("WorkerRushPlusPlus", env8),
                       passive_bot(env8), 1000)

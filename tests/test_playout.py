@@ -122,6 +122,7 @@ def test_time_cap_and_decision_budget(env):
     assert int(sg.time) <= 40
 
 
+@pytest.mark.heavy
 def test_vmapped_playout(env):
     """Lanes freeze independently under vmap (batched while_loop)."""
     act2 = scripted_act2(env)
@@ -133,6 +134,7 @@ def test_vmapped_playout(env):
     assert np.all(np.asarray(sf.time) <= 30)
 
 
+@pytest.mark.heavy
 def test_make_playout_value_and_discount(env):
     from microrts_tpu.ops.evaluation import simple_sqrt_eval3
     ecfg = env.cfg.engine

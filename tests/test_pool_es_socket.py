@@ -20,6 +20,7 @@ from microrts_tpu.utils.checkpoint import load_pytree, save_pytree
 MAPS = "/root/reference/maps"
 
 
+@pytest.mark.heavy
 def test_map_pool_preserves_maps_through_reset():
     pool = MapPoolVecEnv(
         [f"{MAPS}/8x8/basesWorkers8x8.xml", f"{MAPS}/NoWhereToRun9x8.xml",

@@ -124,6 +124,7 @@ TINY = dict(n_playouts=6, max_nodes=12, max_children=4, max_depth=3,
             playout_len=8)
 
 
+@pytest.mark.heavy
 def test_informed_naive_mcts_plays_legally(env, model):
     from microrts_tpu.bots.treesearch import informed_naive_mcts_bot
     bot = jax.jit(informed_naive_mcts_bot(env, model, **TINY),

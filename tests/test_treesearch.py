@@ -137,6 +137,7 @@ def test_naive_mcts_beats_playout_searchers(env8):
     assert w[i] == w.max()
 
 
+@pytest.mark.heavy
 def test_search_accepts_traced_iteration_count(env8):
     """The anytime budget path: `search(..., n_iters=<traced>)` runs
     exactly that many iterations (root visits count them)."""
@@ -156,6 +157,7 @@ def test_search_accepts_traced_iteration_count(env8):
     assert int(run_j(jnp.int32(7))) == 7   # same program, new count
 
 
+@pytest.mark.heavy
 def test_anytime_continuing_budget_scales_with_elapsed_frames(env8):
     """ContinuingAI think-while-idle: the per-move iteration budget is
     per_frame x frames elapsed since the last decision (capped).  Vs an

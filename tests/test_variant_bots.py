@@ -48,6 +48,7 @@ TINY = dict(n_playouts=6, max_nodes=12, max_children=4, max_depth=3,
             playout_len=8)
 
 
+@pytest.mark.heavy
 def test_two_phase_naive_mcts_plays_legally(env):
     bot = jax.jit(
         naive_mcts_bot(env, eps0=1.0, eps_l=0.3,
