@@ -163,16 +163,20 @@ def measure(map_key: str, num_envs: int, actor_name: str,
     run = ((_make_run_event if event else _make_run)
            (env, vec, num_envs, scan_len, actor))
 
+    import numpy as np
+
     key = jax.random.PRNGKey(1)
-    states, steps, key, _ = run(states, steps, key)   # compile + warmup
-    jax.block_until_ready(states.time)
+    states, steps, key, s = run(states, steps, key)   # compile + warmup
+    int(s)   # HOST FETCH: block_until_ready does not sync on the tunnel
 
     rates = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         states, steps, key, s = run(states, steps, key)
-        jax.block_until_ready(states.time)
-        ticks = int(s) if event else num_envs * scan_len
+        # close the timing with a fetch of the scan's scalar output —
+        # on the tunneled axon backend block_until_ready returns without
+        # waiting for device execution (CLAUDE.md)
+        ticks = int(s) if event else (num_envs * scan_len + 0 * int(s))
         rates.append(ticks / (time.perf_counter() - t0))
     return (statistics.fmean(rates),
             statistics.stdev(rates) if len(rates) > 1 else 0.0,

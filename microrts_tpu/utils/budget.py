@@ -24,16 +24,26 @@ import jax
 
 def measure_move_ms(env, bot, *, player: int = 0, seed: int = 0,
                     repeats: int = 3) -> float:
-    """Median wall-clock ms of one compiled bot move (compile excluded)."""
+    """Median wall-clock ms of one compiled bot move (compile excluded).
+
+    Timing is closed by FETCHING the action to host (``np.asarray``),
+    not ``block_until_ready``: on the tunneled axon TPU the latter
+    returns in <1 ms without waiting for device execution (measured r5
+    — an 8-iteration NaiveMCTS move "completed" in 0.5 ms by
+    block_until_ready but 57 ms by fetch), which silently calibrated
+    every budget to the ladder top.  A real AI in the game loop pays
+    the fetch anyway — the action must reach the host to be issued."""
+    import numpy as np
+
     s = env.reset(jax.random.PRNGKey(seed))
     jbot = jax.jit(bot, static_argnums=1)
     key = jax.random.PRNGKey(seed + 1)
-    jax.block_until_ready(jbot(s, player, key))  # compile + warmup
+    np.asarray(jbot(s, player, key))  # compile + warmup
     times = []
     for i in range(repeats):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        jax.block_until_ready(jbot(s, player, sub))
+        np.asarray(jbot(s, player, sub))
         times.append((time.perf_counter() - t0) * 1e3)
     times.sort()
     return times[len(times) // 2]
