@@ -277,19 +277,33 @@ def main():
                 for actor_name in ("random", "rush", "rush-event"):
                     if map_key == "64x64" and num_envs > 4096:
                         continue  # HBM: 16k 64x64 states exceed v5e (doc'd)
-                    if (map_key, num_envs, actor_name) in (
-                            ("32x32", 16384, "rush"),
-                            ("64x64", 4096, "rush")):
-                        # These rush-actor cells killed the tunneled TPU
-                        # worker repeatedly (UNAVAILABLE mid-dispatch,
-                        # 2x and 4x respectively, with trivial probes
-                        # succeeding in between): the per-dispatch work
-                        # exceeds the tunnel's tolerance.  The next-
-                        # smaller batch row covers each config, and both
-                        # maps' rush throughput peaks at B=1024 anyway.
-                        continue
                     if (map_key, num_envs, actor_name) in done:
                         continue
+                    h = int(map_key.split("x")[0])
+                    big = h * h * num_envs >= 32 * 32 * 4096
+                    if big and actor_name.startswith("rush"):
+                        # r4's 32x32/16384/rush and 64x64/4096/rush
+                        # repeatedly killed the tunneled TPU worker
+                        # (UNAVAILABLE mid-dispatch).  Root-cause probe
+                        # (r5, bench.py --analyze): BOTH killers compile
+                        # to ~6.2 GB of XLA temp buffers, while every
+                        # surviving cell stays <= ~3 GB — the compile-
+                        # side temp estimate is a clean discriminator
+                        # for whatever per-dispatch limit the remote
+                        # worker enforces.  Guard: analyze first, skip
+                        # with a recorded reason when past the line.
+                        ma = analyze(map_key, num_envs, actor_name,
+                                     args.scan_len)
+                        gb = ma["peak_estimate_gb"]
+                        if gb > 4.0:
+                            row = (f"| {map_key} | {num_envs} | "
+                                   f"{actor_name} | skipped | - | "
+                                   f"temp {gb:.1f} GB > 4 GB worker "
+                                   f"guard |")
+                            with open(path, "a") as f:
+                                f.write(row + "\n")
+                            print(row, flush=True)
+                            continue
                     mean, std, best = measure(map_key, num_envs, actor_name,
                                               args.scan_len, args.repeats)
                     row = (f"| {map_key} | {num_envs} | {actor_name} | "
