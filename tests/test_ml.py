@@ -144,3 +144,39 @@ def test_scv_adaptive_pool_selection(env8):
     s2 = s.replace(time=jnp.int32(1500))
     a2 = bot(s2, 0, jax.random.PRNGKey(9))
     assert _legal(env, s2, a2, 0)
+
+
+def test_scv_archetype_distribution_responds_to_composition(env8):
+    """The transparent enemy classifier (stand-in for the JVM-only weka
+    logistic, SCV.java:394-449) must put its mass on the archetype whose
+    composition dominates the enemy army."""
+    import jax.numpy as jnp
+    from microrts_tpu.bots.scv import ARCHETYPES, _archetype_distribution
+
+    env = env8
+    s = env.reset(jax.random.PRNGKey(21))
+
+    def plant(s, cells, tid):
+        ut = np.asarray(s.utype).copy()
+        ow = np.asarray(s.owner).copy()
+        hp = np.asarray(s.hp).copy()
+        uid = np.asarray(s.uid).copy()
+        for i, (y, x) in enumerate(cells):
+            ut[y, x] = tid + 1
+            ow[y, x] = 1
+            hp[y, x] = 4
+            uid[y, x] = 900 + i
+        return s.replace(utype=jnp.asarray(ut), owner=jnp.asarray(ow),
+                         hp=jnp.asarray(hp), uid=jnp.asarray(uid)).canon()
+
+    cases = [(env.cfg.light_id, "POLightRush"),
+             (env.cfg.ranged_id, "PORangedRush"),
+             (env.cfg.heavy_id, "POHeavyRush")]
+    for tid, expect in cases:
+        s2 = plant(s, [(4, 2), (4, 3), (5, 2)], tid)
+        d = np.asarray(_archetype_distribution(s2, 0, env.cfg))
+        assert ARCHETYPES[int(d.argmax())] == expect, (expect, d)
+    # pure worker mass with no barracks -> POWorkerRush
+    s3 = plant(s, [(4, 2), (4, 3), (5, 2), (5, 3)], env.cfg.worker_id)
+    d = np.asarray(_archetype_distribution(s3, 0, env.cfg))
+    assert ARCHETYPES[int(d.argmax())] == "POWorkerRush", d
