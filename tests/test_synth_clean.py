@@ -22,9 +22,6 @@ from microrts_tpu.synth.dsl import (SEED_PROGRAM, Attack, For, Harvest,
                                     compile_program)
 from microrts_tpu.utils.assets import asset_path
 
-pytestmark = pytest.mark.smoke
-
-
 @pytest.fixture(scope="module")
 def env8():
     return GridnetEnv(asset_path("maps/8x8/basesWorkers8x8.xml"))
@@ -35,6 +32,7 @@ def env8():
 DEAD_IF = If(NEnemyOfType("Ranged", 6, ">="), (Attack("All", "Random"),))
 
 
+@pytest.mark.smoke
 def test_edit_candidates_shrink_and_dedupe():
     prog = (Harvest(1), DEAD_IF, For(1, (Idle("Worker"),)),
             Attack("All", "Closest"))
@@ -46,6 +44,7 @@ def test_edit_candidates_shrink_and_dedupe():
     assert len({p for _, p in cands}) == len(cands)
 
 
+@pytest.mark.heavy
 def test_clean_removes_dead_guard_keeps_live_commands(env8):
     env = env8
     prog = (Harvest(1), DEAD_IF, Train("Base", "Worker", 3),
@@ -67,6 +66,7 @@ def test_clean_removes_dead_guard_keeps_live_commands(env8):
     assert counts[0] == 0
 
 
+@pytest.mark.heavy
 def test_clean_unwraps_for1(env8):
     env = env8
     prog = (For(1, (Harvest(1),)), Attack("All", "Closest"))
@@ -76,6 +76,7 @@ def test_clean_unwraps_for1(env8):
     assert any(isinstance(c, Harvest) for c in res.program)
 
 
+@pytest.mark.heavy
 def test_shrink_preserves_fitness(env8):
     env = env8
     prog = (DEAD_IF,) + SEED_PROGRAM
